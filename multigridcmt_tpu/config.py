@@ -1,0 +1,106 @@
+"""Solver configuration.
+
+Single frozen dataclass holding every knob of the framework, per the
+config-system plan in SURVEY.md §5 ("Config / flag system"). The reference
+(AndyMN/MultigridCMT, a single-process SciPy code — see SURVEY.md §0) keeps
+these as script constants; here they form the static (hashable) part of the
+jit cache key.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static configuration for a multigrid solve.
+
+    Attributes:
+      ndim: spatial dimension (1 or 2).
+      k: grid exponent — the fine grid has ``n = 2**k - 1`` interior points
+        per axis (vertex-centered coarsening, Dirichlet boundary points
+        eliminated; matches the reference's 1023 / 255² / 1023² / 511²
+        configs, see SURVEY.md §1).
+      dtype: compute dtype. float32 is the TPU-native default; tests use
+        float64 on CPU to match the SciPy oracle bit-for-bit-ish.
+      nu1, nu2: pre-/post-smoothing sweeps per V-cycle level.
+      smoother: "jacobi" (weighted Jacobi) or "rbgs" (red-black Gauss-Seidel).
+      omega: Jacobi damping; None selects the textbook optimum 2/3 (1D) or
+        4/5 (2D) used by the reference (SURVEY.md §2, smoother rows).
+      cycle: "v", "w", or "fmg".
+      min_coarse: coarsest-level interior size (per axis); the hierarchy
+        coarsens 2^j-1 → 2^(j-1)-1 until n <= min_coarse, then solves
+        directly with a precomputed dense inverse.
+      tol: relative residual tolerance ||r|| / ||b||.
+      max_iters: outer-cycle iteration cap (also the residual-history length).
+      use_pallas: route smoother/transfer/residual through Pallas TPU kernels
+        instead of pure-jnp stencils.
+      mesh_axis: name of the mesh axis used for row partitioning when the
+        solver runs under ``parallel.shard_cycle``.
+      agglom_rows: once a level's *local* row count would drop below this,
+        the level is agglomerated (replicated on all devices) rather than
+        kept sharded — SURVEY.md §3.5 / BASELINE.json config 5.
+    """
+
+    ndim: int = 2
+    k: int = 8
+    dtype: Any = jnp.float32
+    nu1: int = 2
+    nu2: int = 2
+    smoother: str = "jacobi"
+    omega: Optional[float] = None
+    cycle: str = "v"
+    min_coarse: int = 3
+    tol: float = 1e-8
+    max_iters: int = 100
+    use_pallas: bool = False
+    mesh_axis: str = "row"
+    agglom_rows: int = 8
+
+    def __post_init__(self):
+        if jnp.dtype(self.dtype) == jnp.float64:
+            # Without this, jax silently truncates every f64 request to f32
+            # and the solver stalls at the f32 roundoff floor (~1e-4
+            # relative residual) instead of reaching tight tolerances.
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                jax.config.update("jax_enable_x64", True)
+        if self.ndim not in (1, 2):
+            raise ValueError(f"ndim must be 1 or 2, got {self.ndim}")
+        if self.k < 2:
+            raise ValueError(f"k must be >= 2, got {self.k}")
+        if self.smoother not in ("jacobi", "rbgs"):
+            raise ValueError(f"unknown smoother {self.smoother!r}")
+        if self.cycle not in ("v", "w", "fmg"):
+            raise ValueError(f"unknown cycle {self.cycle!r}")
+
+    @property
+    def n(self) -> int:
+        """Interior points per axis on the finest grid."""
+        return 2 ** self.k - 1
+
+    @property
+    def h(self) -> float:
+        """Mesh spacing on the finest grid (unit domain)."""
+        return 1.0 / (self.n + 1)
+
+    def effective_omega(self) -> float:
+        if self.omega is not None:
+            return self.omega
+        return 2.0 / 3.0 if self.ndim == 1 else 4.0 / 5.0
+
+    def level_sizes(self) -> Tuple[int, ...]:
+        """Interior sizes fine→coarse: 2^k-1, 2^(k-1)-1, ..., <= min_coarse."""
+        sizes = []
+        kk = self.k
+        while True:
+            n = 2 ** kk - 1
+            sizes.append(n)
+            if n <= self.min_coarse or kk <= 1:
+                break
+            kk -= 1
+        return tuple(sizes)

@@ -1,0 +1,262 @@
+"""Sparse Laplacian assembly (CSR/COO) and device SpMV.
+
+Capability parity: the reference assembles its 1D/2D Poisson operators as
+`scipy.sparse` CSR/COO matrices and applies them with the library SpMV
+(SURVEY.md §2 "Laplacian assembly" / "Sparse formats / SpMV" rows). Here the
+same formats exist as explicit JAX pytrees:
+
+  * assembly runs once on the host in NumPy (setup path, outside jit);
+  * `spmv` runs on device — the CSR path is a gather + segment-sum (general
+    matrices), and the structured Poisson path uses the fixed-bandwidth
+    ELL/DIA layout, which on TPU vectorizes into a handful of shifted adds
+    (no gathers) and is the layout the Pallas SpMV kernel consumes
+    (`kernels/spmv.py`).
+
+The hot solver path stays matrix-free (`ops/laplacian.py`); these matrices
+serve the generality capability, the SpMV nnz/s benchmark (BASELINE.md),
+and cross-checks against `scipy.sparse`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CSR:
+    """Compressed-sparse-row matrix as a JAX pytree.
+
+    Mirrors `scipy.sparse.csr_matrix`'s (data, indices, indptr) triple, plus
+    a precomputed `row_ids` (COO row index per nonzero) so the device SpMV
+    is a single segment-sum without an indptr walk.
+    """
+
+    data: jax.Array      # (nnz,)
+    indices: jax.Array   # (nnz,) column index per nonzero
+    indptr: jax.Array    # (nrows + 1,)
+    row_ids: jax.Array   # (nnz,) row index per nonzero
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr, self.row_ids), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, indices, indptr, row_ids = children
+        (shape,) = aux
+        return cls(data, indices, indptr, row_ids, shape)
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class COO:
+    """Coordinate-format sparse matrix as a JAX pytree."""
+
+    data: jax.Array   # (nnz,)
+    row: jax.Array    # (nnz,)
+    col: jax.Array    # (nnz,)
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.data, self.row, self.col), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, row, col = children
+        (shape,) = aux
+        return cls(data, row, col, shape)
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+
+def _laplacian_coo_numpy(n: int, ndim: int, h: float):
+    """Host-side COO triplets of the 1D/2D Poisson operator (float64)."""
+    inv_h2 = 1.0 / (h * h)
+    if ndim == 1:
+        rows, cols, vals = [], [], []
+        idx = np.arange(n)
+        rows.append(idx); cols.append(idx); vals.append(np.full(n, 2.0 * inv_h2))
+        rows.append(idx[1:]); cols.append(idx[1:] - 1); vals.append(np.full(n - 1, -inv_h2))
+        rows.append(idx[:-1]); cols.append(idx[:-1] + 1); vals.append(np.full(n - 1, -inv_h2))
+        return (np.concatenate(rows), np.concatenate(cols),
+                np.concatenate(vals), (n, n))
+    # 2D: row-major interior ordering p = i * n + j, 5-point stencil.
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    p = (ii * n + jj).ravel()
+    rows, cols, vals = [p], [p], [np.full(n * n, 4.0 * inv_h2)]
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ni, nj = ii + di, jj + dj
+        ok = ((ni >= 0) & (ni < n) & (nj >= 0) & (nj < n)).ravel()
+        q = (ni * n + nj).ravel()
+        rows.append(p[ok]); cols.append(q[ok])
+        vals.append(np.full(ok.sum(), -inv_h2))
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(vals), (n * n, n * n))
+
+
+def laplacian_coo(n: int, ndim: int, h: float, dtype=jnp.float32) -> COO:
+    """Assemble the Poisson operator in COO format (sorted by row, col)."""
+    row, col, val, shape = _laplacian_coo_numpy(n, ndim, h)
+    order = np.lexsort((col, row))
+    return COO(
+        data=jnp.asarray(val[order], dtype=dtype),
+        row=jnp.asarray(row[order], dtype=jnp.int32),
+        col=jnp.asarray(col[order], dtype=jnp.int32),
+        shape=shape,
+    )
+
+
+def laplacian_csr(n: int, ndim: int, h: float, dtype=jnp.float32) -> CSR:
+    """Assemble the Poisson operator in CSR format."""
+    row, col, val, shape = _laplacian_coo_numpy(n, ndim, h)
+    order = np.lexsort((col, row))
+    row, col, val = row[order], col[order], val[order]
+    indptr = np.zeros(shape[0] + 1, dtype=np.int64)
+    np.add.at(indptr, row + 1, 1)
+    indptr = np.cumsum(indptr)
+    return CSR(
+        data=jnp.asarray(val, dtype=dtype),
+        indices=jnp.asarray(col, dtype=jnp.int32),
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        row_ids=jnp.asarray(row, dtype=jnp.int32),
+        shape=shape,
+    )
+
+
+def coo_to_csr(a: COO) -> CSR:
+    """Convert (host-side) a COO matrix to CSR."""
+    row = np.asarray(a.row)
+    col = np.asarray(a.col)
+    val = np.asarray(a.data)
+    order = np.lexsort((col, row))
+    row, col, val = row[order], col[order], val[order]
+    indptr = np.zeros(a.shape[0] + 1, dtype=np.int64)
+    np.add.at(indptr, row + 1, 1)
+    indptr = np.cumsum(indptr)
+    return CSR(
+        data=jnp.asarray(val, dtype=a.data.dtype),
+        indices=jnp.asarray(col, dtype=jnp.int32),
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        row_ids=jnp.asarray(row, dtype=jnp.int32),
+        shape=a.shape,
+    )
+
+
+def csr_to_scipy(a: CSR):
+    """Export to scipy.sparse.csr_matrix (tests / oracles only)."""
+    import scipy.sparse as sp
+
+    return sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+
+
+@jax.jit
+def spmv(a: CSR, x: jax.Array) -> jax.Array:
+    """y = A @ x for a general CSR matrix (gather + segment-sum)."""
+    prods = a.data * x[a.indices]
+    return jax.ops.segment_sum(prods, a.row_ids, num_segments=a.shape[0])
+
+
+@jax.jit
+def spmv_coo(a: COO, x: jax.Array) -> jax.Array:
+    """y = A @ x for a general COO matrix."""
+    prods = a.data * x[a.col]
+    return jax.ops.segment_sum(prods, a.row, num_segments=a.shape[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DIA:
+    """Diagonal (DIA) storage: the TPU-native layout for banded operators.
+
+    `offsets` are static Python ints; `diags` is (ndiag, nrows) with
+    out-of-range entries zero. SpMV is ndiag shifted multiply-adds — fully
+    vectorized, gather-free, the fast path the Pallas SpMV kernel tiles.
+    """
+
+    diags: jax.Array            # (ndiag, n)
+    offsets: Tuple[int, ...]    # static
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.diags,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        offsets, shape = aux
+        (diags,) = children
+        return cls(diags, offsets, shape)
+
+    @property
+    def nnz(self) -> int:
+        """Structural nonzeros (matches scipy's count: explicit zeros that
+        pad the fixed-bandwidth diagonals are not counted)."""
+        return int(np.count_nonzero(np.asarray(self.diags)))
+
+
+def laplacian_dia(n: int, ndim: int, h: float, dtype=jnp.float32) -> DIA:
+    """Assemble the Poisson operator in DIA format.
+
+    1D: offsets (-1, 0, 1). 2D row-major: offsets (-n, -1, 0, 1, n), with the
+    +-1 diagonals zeroed at interior-row boundaries (j = 0 / j = n-1 wrap).
+    """
+    inv_h2 = 1.0 / (h * h)
+    if ndim == 1:
+        d = np.zeros((3, n))
+        d[0, :] = -inv_h2   # offset -1: stored aligned to row index
+        d[1, :] = 2.0 * inv_h2
+        d[2, :] = -inv_h2
+        d[0, 0] = 0.0       # row 0 has no left neighbor
+        d[2, -1] = 0.0      # row n-1 has no right neighbor
+        offsets = (-1, 0, 1)
+        shape = (n, n)
+    else:
+        m = n * n
+        d = np.zeros((5, m))
+        d[0, :] = -inv_h2                   # offset -n (up neighbor)
+        d[1, :] = -inv_h2                   # offset -1 (left)
+        d[2, :] = 4.0 * inv_h2              # main
+        d[3, :] = -inv_h2                   # offset +1 (right)
+        d[4, :] = -inv_h2                   # offset +n (down)
+        idx = np.arange(m)
+        d[0, idx // n == 0] = 0.0           # first block row: no up
+        d[4, idx // n == n - 1] = 0.0       # last block row: no down
+        d[1, idx % n == 0] = 0.0            # first column of block: no left
+        d[3, idx % n == n - 1] = 0.0        # last column: no right
+        offsets = (-n, -1, 0, 1, n)
+        shape = (m, m)
+    return DIA(diags=jnp.asarray(d, dtype=dtype), offsets=offsets, shape=shape)
+
+
+@jax.jit
+def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
+    """y = A @ x for DIA storage: one shifted multiply-add per diagonal.
+
+    Convention: diags[k, i] holds A[i, i + offsets[k]], so
+    y[i] += diags[k, i] * x[i + offsets[k]].
+    """
+    y = jnp.zeros_like(x)
+    n = a.shape[0]
+    for k, off in enumerate(a.offsets):
+        dk = a.diags[k]
+        if off == 0:
+            y = y + dk * x
+        elif off > 0:
+            y = y.at[: n - off].add(dk[: n - off] * x[off:])
+        else:
+            o = -off
+            y = y.at[o:].add(dk[o:] * x[: n - o])
+    return y

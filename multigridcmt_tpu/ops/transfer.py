@@ -1,0 +1,122 @@
+"""Inter-grid transfer operators: full-weighting restriction and
+(bi)linear interpolation.
+
+Capability parity with the reference's transfer operators (SURVEY.md §2):
+  * full-weighting restriction — 1D stencil ``[1, 2, 1]/4``, 2D 9-point
+    ``[1,2,1; 2,4,2; 1,2,1]/16`` — mapping a ``2^k - 1`` interior grid to
+    ``2^(k-1) - 1``;
+  * linear (1D) / bilinear (2D) prolongation, the transpose relation being
+    ``P = 2^d R^T`` (exploited by the tests).
+
+TPU-first formulation: both operators are separable, so the 2D versions are
+two 1D passes (axis 0 then axis 1). Each 1D pass is a strided gather-free
+shift-and-add over the padded array — XLA lowers these to cheap dynamic
+slices that fuse into one HBM pass. Grids are padded with a one-cell zero
+ghost boundary (see `grids.py`); restriction and prolongation both consume
+the padding, which makes every formula branch-free (the ghost zeros ARE the
+homogeneous Dirichlet boundary values the stencil needs).
+
+Index convention (1-based over the padded array): fine interior 1..n maps to
+coarse interior 1..nc with n = 2*nc + 1; coarse point j sits at fine point
+2j (vertex-centered coarsening, matching the reference's 1023 → 511 → ...
+level sizes).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _restrict_axis0_1d(f: jax.Array) -> jax.Array:
+    """Full-weighting along a 1D padded array: (n+2,) -> (nc+2,)."""
+    # Fine interior values, 0-based index i <-> 1-based fine point i+1.
+    core = f[1:-1]                      # length n = 2*nc + 1
+    centers = core[1::2]                # fine points 2, 4, ..., 2*nc
+    edges = core[0::2]                  # fine points 1, 3, ..., 2*nc + 1
+    rc = 0.25 * (edges[:-1] + 2.0 * centers + edges[1:])
+    return jnp.pad(rc, 1)
+
+
+def _restrict_rows_2d(f: jax.Array) -> jax.Array:
+    """Full-weighting along axis 0 of a padded 2D array; axis 1 untouched."""
+    core = f[1:-1, :]
+    centers = core[1::2, :]
+    edges = core[0::2, :]
+    rc = 0.25 * (edges[:-1, :] + 2.0 * centers + edges[1:, :])
+    return jnp.pad(rc, ((1, 1), (0, 0)))
+
+
+def restrict(r: jax.Array) -> jax.Array:
+    """Full-weighting restriction, padded fine grid -> padded coarse grid."""
+    if r.ndim == 1:
+        return _restrict_axis0_1d(r)
+    if r.ndim == 2:
+        r = _restrict_rows_2d(r)
+        r = _restrict_rows_2d(r.T).T
+        return r
+    raise ValueError(f"expected 1D/2D padded grid, got ndim={r.ndim}")
+
+
+def _prolong_axis0_1d(c: jax.Array) -> jax.Array:
+    """Linear interpolation along a 1D padded array: (nc+2,) -> (n+2,)."""
+    nc = c.shape[0] - 2
+    n = 2 * nc + 1
+    fine = jnp.zeros((n,), dtype=c.dtype)
+    # 1-based fine point 2j (0-based 2j-1) takes the coarse value c_j.
+    fine = fine.at[1::2].set(c[1:-1])
+    # 1-based odd fine points 2j+1 (j = 0..nc) average c_j and c_{j+1};
+    # the padded ghosts c[0] = c[nc+1] = 0 supply the boundary halves.
+    fine = fine.at[0::2].set(0.5 * (c[:-1] + c[1:]))
+    return jnp.pad(fine, 1)
+
+
+def _prolong_rows_2d(c: jax.Array) -> jax.Array:
+    """Linear interpolation along axis 0 of a padded 2D array."""
+    nc = c.shape[0] - 2
+    n = 2 * nc + 1
+    fine = jnp.zeros((n,) + c.shape[1:], dtype=c.dtype)
+    fine = fine.at[1::2, :].set(c[1:-1, :])
+    fine = fine.at[0::2, :].set(0.5 * (c[:-1, :] + c[1:, :]))
+    return jnp.pad(fine, ((1, 1), (0, 0)))
+
+
+def prolong(e: jax.Array) -> jax.Array:
+    """(Bi)linear prolongation, padded coarse grid -> padded fine grid."""
+    if e.ndim == 1:
+        return _prolong_axis0_1d(e)
+    if e.ndim == 2:
+        e = _prolong_rows_2d(e)
+        e = _prolong_rows_2d(e.T).T
+        return e
+    raise ValueError(f"expected 1D/2D padded grid, got ndim={e.ndim}")
+
+
+# ---------------------------------------------------------------------------
+# Aligned-layout variants (the Pallas solve path, see grids.aligned_shape):
+# same stencils, applied to the logical top-left corner of TPU-aligned
+# arrays. Transfers move at most quarter-size data, so these stay as jnp
+# (XLA fuses the slice/scatter); the hot full-size ops are Pallas kernels.
+# ---------------------------------------------------------------------------
+
+def restrict_aligned(r: jax.Array, n: int) -> jax.Array:
+    """Full-weighting restriction, aligned fine (logical n) -> aligned
+    coarse (logical (n-1)/2)."""
+    from ..grids import aligned_shape  # local import to avoid a cycle
+
+    nc = (n - 1) // 2
+    t = 0.25 * (r[1:n:2, :] + 2.0 * r[2:n + 1:2, :] + r[3:n + 2:2, :])
+    core = 0.25 * (t[:, 1:n:2] + 2.0 * t[:, 2:n + 1:2] + t[:, 3:n + 2:2])
+    rr, cc = aligned_shape(nc)
+    out = jnp.zeros((rr, cc), dtype=r.dtype)
+    return out.at[1:nc + 1, 1:nc + 1].set(core)
+
+
+def prolong_aligned(e: jax.Array, nc: int) -> jax.Array:
+    """Bilinear prolongation, aligned coarse (logical nc) -> aligned fine
+    (logical 2*nc + 1)."""
+    from ..grids import aligned_shape
+
+    n = 2 * nc + 1
+    fine = prolong(e[: nc + 2, : nc + 2])
+    rr, cc = aligned_shape(n)
+    return jnp.pad(fine, ((0, rr - (n + 2)), (0, cc - (n + 2))))

@@ -1,0 +1,228 @@
+"""Multigrid cycle drivers: V-cycle, W-cycle, FMG, and the outer solve loop.
+
+Capability parity with the reference's recursive cycle drivers
+(SURVEY.md §3.1/§3.2): pre-smooth, restrict residual, recurse, prolong and
+correct, post-smooth, with a direct solve on the coarsest level, plus the
+full-multigrid (FMG) driver that walks the hierarchy coarse-to-fine.
+
+TPU-first formulation: the reference's Python recursion is unrolled at trace
+time over the *static* level list (`grids.Hierarchy`), so a whole V-cycle —
+and in fact the whole outer iteration via `lax.while_loop` — compiles to a
+single XLA program: one host->device dispatch per solve, not per smoothing
+sweep. The coarsest solve is a tiny dense matmul against a precomputed
+inverse (MXU-friendly) instead of the reference's `spsolve`.
+
+All grid arrays are padded with a one-cell zero ghost boundary (`grids.py`).
+Ops are routed through a `Backend` record so the Pallas kernel versions
+(`kernels/`) can replace the pure-jnp stencils without touching the drivers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..grids import Hierarchy, interior, pad_interior
+from ..ops import laplacian, smoothers, transfer
+
+
+class Backend(NamedTuple):
+    """Pluggable stencil implementations (pure-jnp default; Pallas in kernels/).
+
+    Arrays flow through a cycle in the backend's *native layout*: the
+    logical padded grid for jnp, the TPU-aligned embedding for Pallas
+    (`grids.aligned_shape`). `encode`/`decode` convert once per solve at
+    the driver boundary. Every op takes the logical interior size n and
+    mesh spacing h of its level (static per level).
+
+    Signatures (native-layout in / native-layout out):
+      smooth(u, b, n, h, kind=..., omega=..., sweeps=..., sigma=...)
+      residual(u, b, n, h, sigma=...)
+      restrict(r, n)            # fine level n -> coarse level (n-1)/2
+      prolong(e, nc)            # coarse level nc -> fine level 2*nc+1
+      encode(u_padded) / decode(u_native, n)
+    """
+
+    smooth: Callable
+    residual: Callable
+    restrict: Callable
+    prolong: Callable
+    encode: Callable
+    decode: Callable
+
+
+JNP_BACKEND = Backend(
+    smooth=lambda u, b, n, h, **kw: smoothers.smooth(u, b, h, **kw),
+    residual=lambda u, b, n, h, sigma=0.0: laplacian.residual(
+        u, b, h, sigma=sigma),
+    restrict=lambda r, n: transfer.restrict(r),
+    prolong=lambda e, nc: transfer.prolong(e),
+    encode=lambda u: u,
+    decode=lambda u, n: u,
+)
+
+
+def get_backend(config: SolverConfig) -> Backend:
+    if config.use_pallas:
+        from ..kernels import PALLAS_BACKEND
+
+        return PALLAS_BACKEND
+    return JNP_BACKEND
+
+
+def coarse_solve(hier: Hierarchy, b: jax.Array, sigma=0.0,
+                 backend: Backend = JNP_BACKEND) -> jax.Array:
+    """Direct solve on the coarsest level (native layout in/out).
+
+    sigma == 0 (static): single small matmul against the precomputed dense
+    inverse. Shifted (traced sigma, eigensolver path): dense
+    ``jnp.linalg.solve`` on (A_c - sigma*I) — the coarsest operator is tiny.
+    """
+    nc = hier.coarsest.n
+    r = interior(backend.decode(b, nc)).reshape(-1)
+    if laplacian._is_zero(sigma):
+        x = hier.coarse_inv @ r
+    else:
+        a = hier.coarse_dense - jnp.asarray(sigma, dtype=r.dtype) * jnp.eye(
+            hier.coarse_dense.shape[0], dtype=r.dtype)
+        x = jnp.linalg.solve(a, r)
+    shape = (nc,) * hier.ndim
+    return backend.encode(pad_interior(x.reshape(shape)))
+
+
+def v_cycle(hier: Hierarchy, x: jax.Array, b: jax.Array,
+            config: SolverConfig, level: int = 0, sigma=0.0,
+            gamma: int = 1) -> jax.Array:
+    """One multigrid cycle starting at ``level`` (gamma=1: V, gamma=2: W).
+
+    Mirrors the reference's recursive driver (SURVEY.md §3.1); the Python
+    recursion unrolls at trace time because the hierarchy is static.
+    Arrays are in the backend's native layout.
+    """
+    bk = get_backend(config)
+    spec = hier.levels[level]
+    omega = config.effective_omega()
+    if level == hier.num_levels - 1:
+        return coarse_solve(hier, b, sigma, backend=bk)
+    x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
+                  sweeps=config.nu1, sigma=sigma)
+    r = bk.residual(x, b, spec.n, spec.h, sigma=sigma)
+    rc = bk.restrict(r, spec.n)
+    ec = jnp.zeros_like(rc)
+    for _ in range(gamma):
+        ec = v_cycle(hier, ec, rc, config, level=level + 1, sigma=sigma,
+                     gamma=gamma)
+    x = x + bk.prolong(ec, hier.levels[level + 1].n)
+    x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
+                  sweeps=config.nu2, sigma=sigma)
+    return x
+
+
+def cycle(hier: Hierarchy, x: jax.Array, b: jax.Array,
+          config: SolverConfig, sigma=0.0) -> jax.Array:
+    """One cycle of the configured type from the finest level."""
+    gamma = 2 if config.cycle == "w" else 1
+    return v_cycle(hier, x, b, config, level=0, sigma=sigma, gamma=gamma)
+
+
+def fmg(hier: Hierarchy, b: jax.Array, config: SolverConfig,
+        n_vcycles: int = 1) -> jax.Array:
+    """Full multigrid (SURVEY.md §3.2): O(N) solve to discretization accuracy.
+
+    Restrict b through the whole hierarchy, direct-solve the coarsest, then
+    walk up: prolong the current solution as the initial guess and run
+    ``n_vcycles`` V-cycles at each level. Native-layout in/out.
+    """
+    bk = get_backend(config)
+    bs = [b]
+    for lev in range(hier.num_levels - 1):
+        bs.append(bk.restrict(bs[-1], hier.levels[lev].n))
+    x = coarse_solve(hier, bs[-1], backend=bk)
+    for level in range(hier.num_levels - 2, -1, -1):
+        x = bk.prolong(x, hier.levels[level + 1].n)
+        for _ in range(n_vcycles):
+            x = v_cycle(hier, x, bs[level], config, level=level)
+    return x
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array             # padded solution
+    iters: jax.Array         # number of cycles taken (scalar int)
+    res_history: jax.Array   # (max_iters + 1,) relative residual norms;
+                             # entries past `iters` hold the final value
+    converged: jax.Array     # bool scalar
+
+
+def _norm(v: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.sum(v * v))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve(hier: Hierarchy, b: jax.Array, config: SolverConfig,
+          x0: jax.Array | None = None) -> SolveResult:
+    """Iterate cycles until ||r|| / ||b|| < config.tol (SURVEY.md §3.1).
+
+    The whole loop — including residual-history bookkeeping — runs on
+    device inside one ``lax.while_loop``; the history has static length
+    ``max_iters + 1`` (XLA needs static shapes).
+    """
+    bk = get_backend(config)
+    n, h = hier.fine.n, hier.fine.h
+    # Sanitize: every op relies on the zero-ghost invariant, and the norms
+    # below are whole-array — zero the ghost boundary of user inputs.
+    b = bk.encode(pad_interior(interior(b)))
+    if config.cycle == "fmg":
+        # FMG is a direct method: run it once, then report its residual and
+        # polish with V-cycles if the tolerance asks for more.
+        x = fmg(hier, b, config)
+    else:
+        x = (jnp.zeros_like(b) if x0 is None
+             else bk.encode(pad_interior(interior(x0))))
+    # Full-array norms are interior norms: ghosts (and alignment pads in
+    # the Pallas layout) are zero by invariant.
+    b_norm = _norm(b)
+    b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
+
+    r0 = _norm(bk.residual(x, b, n, h)) / b_norm
+    hist0 = jnp.full((config.max_iters + 1,), r0, dtype=b.dtype)
+
+    # Stall guard: when the residual hits the dtype's roundoff floor (fp32
+    # stalls near ~1e-4 relative for fine grids — 1/h^2 cancellation), the
+    # iteration stops improving; exit after 3 non-improving cycles instead
+    # of spinning to max_iters with rho ~ 1.
+    def cond(state):
+        x, k, hist, rel, stall = state
+        return (rel >= config.tol) & (k < config.max_iters) & (stall < 3)
+
+    def body(state):
+        x, k, hist, rel, stall = state
+        x = cycle(hier, x, b, config)
+        new_rel = _norm(bk.residual(x, b, n, h)) / b_norm
+        stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
+        hist = hist.at[k + 1].set(new_rel)
+        return x, k + 1, hist, new_rel, stall
+
+    x, iters, hist, rel, _ = jax.lax.while_loop(
+        cond, body, (x, 0, hist0, r0, 0))
+    # Entries past `iters` were never written; backfill them with the final
+    # residual so downstream convergence-factor code can mask cleanly.
+    idx = jnp.arange(config.max_iters + 1)
+    hist = jnp.where(idx <= iters, hist, rel)
+    return SolveResult(x=bk.decode(x, n), iters=iters, res_history=hist,
+                       converged=rel < config.tol)
+
+
+def convergence_factor(result: SolveResult) -> jax.Array:
+    """Geometric-mean residual reduction per cycle over the iterations run.
+
+    rho = (r_final / r_0) ** (1 / iters) — the metric the reference reports
+    and BASELINE.md bounds (match within <= 0.1).
+    """
+    r0 = result.res_history[0]
+    rk = result.res_history[result.iters]
+    iters = jnp.maximum(result.iters, 1)
+    return (rk / r0) ** (1.0 / iters)

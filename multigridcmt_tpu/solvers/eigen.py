@@ -1,0 +1,208 @@
+"""Multigrid-accelerated eigensolver for the smallest Laplacian eigenpairs.
+
+Capability parity with the reference's eigensolver (SURVEY.md §2/§3.3):
+inverse iteration and Rayleigh-quotient iteration with the inner solves done
+by multigrid V-cycles, plus coarse-grid correction — here realized as a
+nested-iteration initialization: the coarsest-level eigenproblem is solved
+densely and the eigenvectors are prolonged up the hierarchy, so the fine-
+level iteration starts from an O(h²)-accurate guess.
+
+Supports k >= 1 eigenpairs via block (subspace) inverse iteration with
+Rayleigh-Ritz projection. Everything after setup runs on device inside one
+jitted ``lax.while_loop``; the k inner MG solves are ``vmap``-ed over the
+block, so the stencil kernels see a batched leading axis and stay dense.
+
+Physics payload of the reference ("CMT"): the smallest eigenpair of the 2D
+Dirichlet Laplacian is the particle-in-a-box ground state, lambda_1 -> 2*pi^2
+as h -> 0 (SURVEY.md §0).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..grids import Hierarchy, interior, pad_interior
+from ..ops import laplacian, transfer
+from . import cycles
+
+
+class EigenResult(NamedTuple):
+    eigenvalues: jax.Array    # (k,)
+    eigenvectors: jax.Array   # (k, *padded_shape), interior-normalized
+    iters: jax.Array          # outer iterations taken
+    res_history: jax.Array    # (max_iters + 1,) max eigen-residual per iter
+    converged: jax.Array
+
+
+def _flat(v: jax.Array, ndim: int) -> jax.Array:
+    """(k, *padded) -> (k, N) interior-flattened."""
+    core = v[:, 1:-1] if ndim == 1 else v[:, 1:-1, 1:-1]
+    return core.reshape(core.shape[0], -1)
+
+
+def _unflat(f: jax.Array, n: int, ndim: int) -> jax.Array:
+    """(k, N) -> (k, *padded)."""
+    shape = (f.shape[0],) + (n,) * ndim
+    return jax.vmap(pad_interior)(f.reshape(shape))
+
+
+def _orthonormalize(f: jax.Array) -> jax.Array:
+    """Row-orthonormalize (k, N) via QR of the transpose."""
+    q, _ = jnp.linalg.qr(f.T)          # (N, k)
+    return q.T
+
+
+def coarse_init(hier: Hierarchy, k: int, dtype) -> jax.Array:
+    """Nested-iteration start: dense eigh on the coarsest level, prolong up.
+
+    This is the coarse-grid-correction leg of the reference's eigensolver
+    (SURVEY.md §3.3): the eigenproblem is solved exactly on the coarse grid
+    and the eigenvectors are interpolated to the fine grid.
+    """
+    a = hier.coarse_dense.astype(dtype)
+    _, vecs = jnp.linalg.eigh(a)
+    nc = hier.coarsest.n
+    v = vecs[:, :k].T.reshape((k,) + (nc,) * hier.ndim)
+    v = jax.vmap(pad_interior)(v)
+    for _ in range(hier.num_levels - 1):
+        v = jax.vmap(transfer.prolong)(v)
+    return v
+
+
+@partial(jax.jit, static_argnames=("config", "k", "method", "inner_cycles",
+                                   "max_iters", "inner_tol"))
+def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
+               method: str = "ii", tol: float = 1e-8, max_iters: int = 100,
+               inner_cycles: int = 30,
+               inner_tol: float | None = None) -> EigenResult:
+    """Find the k smallest eigenpairs of the discrete Laplacian.
+
+    method="ii": block inverse iteration — each outer step MG-solves
+    A w_i = v_i, then Rayleigh-Ritz. method="rqi": after an
+    inverse-iteration warmup, shift the inner solves by the current
+    Rayleigh quotient (sigma = lambda_i per vector) for cubic local
+    convergence; the MG smoothers/coarse solve take the traced shift.
+
+    The inner solves run V-cycles to relative residual ``inner_tol``
+    (default: near the dtype's roundoff floor), capped at ``inner_cycles``
+    cycles. A tolerance-driven inner solve is essential: with a *fixed*
+    cycle count the iteration converges to an eigenvector of the
+    approximate inverse (the fixed linear operator "m cycles of MG"), and
+    the eigen-residual stalls at the inner-solver error instead of
+    reaching ``tol``.
+
+    Convergence: max_i ||A v_i - lambda_i v_i|| / lambda_i < tol.
+    """
+    if method not in ("ii", "rqi"):
+        raise ValueError(f"unknown eigensolver method {method!r}")
+    ndim, n, h = hier.ndim, hier.fine.n, hier.fine.h
+    dtype = config.dtype
+
+    v = coarse_init(hier, k, dtype)            # (k, *padded)
+    v = _unflat(_orthonormalize(_flat(v, ndim)), n, ndim)
+
+    apply_v = jax.vmap(lambda u: laplacian.apply_poisson(u, h))
+
+    def rayleigh(vv):
+        av = apply_v(vv)
+        fv, fav = _flat(vv, ndim), _flat(av, ndim)
+        lam = jnp.sum(fv * fav, axis=1) / jnp.sum(fv * fv, axis=1)
+        res = jnp.linalg.norm(fav - lam[:, None] * fv, axis=1) / jnp.abs(lam)
+        return lam, jnp.max(res)
+
+    bk = cycles.get_backend(config)
+    if inner_tol is None:
+        inner_tol = 200.0 * float(jnp.finfo(dtype).eps)
+
+    def inner_solve(vv, sigma=None):
+        """MG-solve (A - sigma I) w = v to inner_tol, per block vector.
+
+        sigma=None keeps the shift *statically* zero so the coarsest solve
+        stays the fast precomputed-inverse matmul (cycles.coarse_solve).
+        Encodes to the backend's native layout once per outer iteration.
+        """
+        def one(rhs, sg=0.0):
+            rhs = bk.encode(rhs)
+            rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+            rhs_norm = jnp.where(rhs_norm == 0, 1.0, rhs_norm)
+
+            def cond(st):
+                w, i, rel = st
+                return (rel >= inner_tol) & (i < inner_cycles)
+
+            def body(st):
+                w, i, rel = st
+                w = cycles.v_cycle(hier, w, rhs, config, sigma=sg)
+                r = bk.residual(w, rhs, n, h, sigma=sg)
+                rel = jnp.sqrt(jnp.sum(r * r)) / rhs_norm
+                return w, i + 1, rel
+
+            w0 = jnp.zeros_like(rhs)
+            w, _, _ = jax.lax.while_loop(cond, body, (w0, 0, jnp.ones(
+                (), dtype=dtype)))
+            return bk.decode(w, n)
+        if sigma is None:
+            return jax.vmap(one)(vv)
+        return jax.vmap(one)(vv, sigma)
+
+    def ritz(vv):
+        """Rayleigh-Ritz: orthonormalize, project, rotate to Ritz vectors."""
+        f = _orthonormalize(_flat(vv, ndim))
+        vv = _unflat(f, n, ndim)
+        fav = _flat(apply_v(vv), ndim)
+        hmat = f @ fav.T                        # (k, k), symmetric
+        lam, s = jnp.linalg.eigh(0.5 * (hmat + hmat.T))
+        return _unflat(s.T @ f, n, ndim), lam
+
+    lam0, res0 = rayleigh(v)
+    hist0 = jnp.full((max_iters + 1,), res0, dtype=dtype)
+    # RQI shifts activate once inverse iteration has localized the
+    # eigenvalues. The shift is backed off to lam * (1 - 10 * res): the
+    # Rayleigh quotient overestimates lambda_min by O(res^2), so this sits
+    # strictly BELOW lambda_min — (A - sigma I) stays SPD and multigrid on
+    # it converges — while approaching it at the outer convergence rate,
+    # giving superlinear convergence without the indefinite-operator
+    # breakdown of a textbook sigma = lambda shift.
+    rqi_active_tol = 1e-2
+    rqi_polish_tol = 1e-5
+
+    def cond(state):
+        v, lam, k_it, hist, res = state
+        return (res >= tol) & (k_it < max_iters)
+
+    def body(state):
+        v, lam, k_it, hist, res = state
+        if method == "rqi":
+            # Back-off floor: the re-discretized coarse operators see
+            # lambda_1 with O(h_coarse^2) error — ~5% on the 3^2 coarsest
+            # grid — so a shift closer than that makes a coarse level
+            # indefinite and the MG inner solve diverges on that mode.
+            # A 10% relative gap keeps every level SPD. Near convergence
+            # (res below rqi_polish_tol) the shifted inner solves can't
+            # reach inner_tol within the cycle cap (the nearly-null mode
+            # converges slowly), which would floor the eigen-residual at
+            # the inner error — so the endgame drops the shift and lets
+            # plain inverse iteration polish to tol.
+            shift_on = (res < rqi_active_tol) & (res > rqi_polish_tol)
+            sigma = jnp.where(shift_on, lam * 0.9, jnp.zeros_like(lam))
+            w = inner_solve(v, sigma)
+        else:
+            w = inner_solve(v)
+        v2, lam2 = ritz(w)
+        lam2, res2 = _rayleigh_of(v2)
+        hist = hist.at[k_it + 1].set(res2)
+        return v2, lam2, k_it + 1, hist, res2
+
+    def _rayleigh_of(vv):
+        return rayleigh(vv)
+
+    v, lam, iters, hist, res = jax.lax.while_loop(
+        cond, body, (v, lam0, 0, hist0, res0))
+    idx = jnp.arange(max_iters + 1)
+    hist = jnp.where(idx <= iters, hist, res)
+    return EigenResult(eigenvalues=lam, eigenvectors=v, iters=iters,
+                       res_history=hist, converged=res < tol)

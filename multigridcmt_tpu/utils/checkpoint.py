@@ -1,0 +1,55 @@
+"""Checkpoint/resume via Orbax (SURVEY.md §5 "Checkpoint / resume").
+
+The reference solves finish in seconds and have no checkpointing; the
+build's long multi-host runs snapshot (x, residual history, iteration) so
+an interrupted solve replays deterministically: resume restarts the outer
+V-cycle loop from the saved x — V-cycle iteration is a fixed-point map, so
+restart-from-x is bitwise the same algorithm the uninterrupted solve runs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_state(path: str, x: jax.Array, res_history: jax.Array,
+               iters, extra: Optional[Dict[str, Any]] = None) -> None:
+    """Snapshot solver state to `path` (an empty/fresh directory)."""
+    ocp = _ocp()
+    state = {
+        "x": np.asarray(x),
+        "res_history": np.asarray(res_history),
+        "iters": np.asarray(iters),
+    }
+    if extra:
+        state.update({k: np.asarray(v) for k, v in extra.items()})
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_state(path: str) -> Dict[str, Any]:
+    """Restore a snapshot saved by `save_state`."""
+    ocp = _ocp()
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def resume_solve(solver, path: str):
+    """Resume an interrupted `MultigridSolver.solve` from a snapshot.
+
+    Restarts the outer iteration with x0 = saved x; the returned result's
+    history is the post-resume tail.
+    """
+    state = load_state(path)
+    import jax.numpy as jnp
+
+    return solver.solve(x0=jnp.asarray(state["x"]))

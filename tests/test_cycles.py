@@ -1,0 +1,145 @@
+"""Cycle-driver integration tests — the BASELINE.md configs at CPU-sized
+grids, plus step-for-step residual-history match against the SciPy
+mini-reference (SURVEY.md §4.3)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import multigridcmt_tpu as mg
+from multigridcmt_tpu.grids import interior
+from multigridcmt_tpu.solvers import cycles
+
+import reference_impl as ref
+
+
+def _np_interior(x):
+    return np.asarray(interior(x))
+
+
+def test_config1_1d_1023_vcycle_to_1e8():
+    """BASELINE config 1: 1D Poisson, 1023 pts, V(2,2) w-Jacobi to 1e-8."""
+    prob = mg.poisson1d(k=10, dtype=jnp.float64, nu1=2, nu2=2,
+                        smoother="jacobi", tol=1e-8)
+    res = mg.MultigridSolver(prob).solve()
+    assert bool(res.converged)
+    assert int(res.iters) <= 12          # grid-independent, fast convergence
+    rho = float(mg.convergence_factor(res))
+    assert rho < 0.2                     # BASELINE: match reference <= 0.1
+    # Solution accuracy vs analytic u = sin(pi x): discretization-level.
+    err = np.abs(_np_interior(res.x) - _np_interior(prob.u_exact)).max()
+    assert err < 1e-5
+
+
+@pytest.mark.parametrize("k", [7, 8, 9])
+def test_grid_independent_iterations_1d(k):
+    prob = mg.poisson1d(k=k, dtype=jnp.float64, tol=1e-8)
+    res = mg.MultigridSolver(prob).solve()
+    assert bool(res.converged)
+    assert int(res.iters) <= 12
+
+
+def test_residual_history_matches_scipy_reference_1d():
+    """Step-for-step fp64 match of the residual history (BASELINE.json:5)."""
+    k = 8
+    prob = mg.poisson1d(k=k, dtype=jnp.float64, smoother="jacobi", tol=1e-8)
+    res = mg.MultigridSolver(prob).solve()
+    b = _np_interior(prob.b)
+    _, hist_ref = ref.solve(b, prob.config.h, kind="jacobi", tol=1e-8,
+                            min_coarse=prob.config.min_coarse)
+    iters = int(res.iters)
+    assert iters == len(hist_ref) - 1
+    got = np.asarray(res.res_history[: iters + 1])
+    # fp64 reduction-order noise grows as the residual decays through nine
+    # orders of magnitude; 1e-11 absolute ~ exact at the 1e-8 solve tol.
+    np.testing.assert_allclose(got, hist_ref, rtol=1e-6, atol=1e-11)
+
+
+def test_residual_history_matches_scipy_reference_2d_rbgs():
+    k = 5
+    prob = mg.poisson2d(k=k, dtype=jnp.float64, smoother="rbgs", tol=1e-8)
+    res = mg.MultigridSolver(prob).solve()
+    b = _np_interior(prob.b)
+    _, hist_ref = ref.solve(b, prob.config.h, kind="rbgs", tol=1e-8,
+                            min_coarse=prob.config.min_coarse)
+    iters = int(res.iters)
+    assert iters == len(hist_ref) - 1
+    np.testing.assert_allclose(np.asarray(res.res_history[: iters + 1]),
+                               hist_ref, rtol=1e-6, atol=1e-11)
+
+
+def test_config2_2d_rbgs_5_levels():
+    """BASELINE config 2 (CPU-sized): 2D RB-GS V-cycle, 5 levels."""
+    prob = mg.poisson2d(k=6, dtype=jnp.float64, smoother="rbgs",
+                        min_coarse=3, tol=1e-8)
+    # levels: 63, 31, 15, 7, 3 -> 5 levels
+    assert prob.hierarchy.num_levels == 5
+    res = mg.MultigridSolver(prob).solve()
+    assert bool(res.converged)
+    rho = float(mg.convergence_factor(res))
+    assert rho < 0.15                    # RB-GS V(2,2) is a strong smoother
+
+
+def test_w_cycle_converges_faster_or_equal():
+    prob_v = mg.poisson2d(k=5, dtype=jnp.float64, cycle="v", tol=1e-10)
+    prob_w = mg.poisson2d(k=5, dtype=jnp.float64, cycle="w", tol=1e-10)
+    rv = mg.MultigridSolver(prob_v).solve()
+    rw = mg.MultigridSolver(prob_w).solve()
+    assert bool(rw.converged)
+    assert int(rw.iters) <= int(rv.iters)
+
+
+@pytest.mark.parametrize("k", [5, 6, 7])
+def test_config3_fmg_discretization_accuracy(k):
+    """BASELINE config 3 (CPU-sized): FMG reaches O(h^2) discrete-L2 error."""
+    prob = mg.poisson2d(k=k, dtype=jnp.float64, smoother="rbgs")
+    solver = mg.MultigridSolver(prob)
+    x = solver.fmg()
+    err = float(solver.discrete_l2_error(x))
+    h = prob.config.h
+    # The discrete-L2 error of the 5-point scheme is ~ (pi^2/6) h^2 ~ 1.6 h^2;
+    # FMG must land within a small factor of it.
+    assert err < 5.0 * h * h
+
+
+def test_fmg_error_halving_ratio():
+    """Error ratio between successive grids ~ 4 (second order), SURVEY §4.3."""
+    errs = []
+    for k in (5, 6, 7):
+        prob = mg.poisson2d(k=k, dtype=jnp.float64, smoother="rbgs")
+        solver = mg.MultigridSolver(prob)
+        errs.append(float(solver.discrete_l2_error(solver.fmg())))
+    r1 = errs[0] / errs[1]
+    r2 = errs[1] / errs[2]
+    assert 3.0 < r1 < 5.0
+    assert 3.0 < r2 < 5.0
+
+
+def test_fmg_matches_scipy_reference():
+    k = 6
+    prob = mg.poisson2d(k=k, dtype=jnp.float64, smoother="jacobi")
+    x = mg.MultigridSolver(prob).fmg()
+    want = ref.fmg(_np_interior(prob.b), prob.config.h, kind="jacobi")
+    np.testing.assert_allclose(_np_interior(x), want, rtol=1e-9, atol=1e-12)
+
+
+def test_coarse_solve_matches_dense():
+    prob = mg.poisson2d(k=5, dtype=jnp.float64)
+    hier = prob.hierarchy
+    nc = hier.coarsest.n
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((nc, nc))
+    got = _np_interior(cycles.coarse_solve(
+        hier, jnp.pad(jnp.asarray(b), 1)))
+    a = ref.laplacian_matrix(nc, 2, hier.coarsest.h).toarray()
+    want = np.linalg.solve(a, b.reshape(-1)).reshape(nc, nc)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_solve_nonzero_initial_guess():
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, tol=1e-9)
+    solver = mg.MultigridSolver(prob)
+    x0 = jnp.ones_like(prob.b)
+    res = solver.solve(x0=x0)
+    assert bool(res.converged)
+    err = np.abs(_np_interior(res.x) - _np_interior(prob.u_exact)).max()
+    assert err < 1e-3
