@@ -1,0 +1,91 @@
+"""Weak-scaling benchmark: sharded V-cycle, fixed rows per device.
+
+BASELINE.md metric: >= 80% weak-scaling efficiency for a (4096^2-scale)
+Poisson V-cycle 1 -> N workers. Grid rows grow with the mesh (2^k = m * D,
+m fixed), so perfect scaling is flat time-per-cycle; efficiency(D) =
+t(1) / t(D).
+
+On real multi-host TPU hardware run one process per host (the mesh spans
+all processes' devices). On this single-chip box the harness runs on the
+virtual CPU mesh (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count),
+which validates the harness and the communication structure but NOT real
+ICI bandwidth — the printed efficiency is then indicative only.
+
+Prints one JSONL record per mesh size, then a summary line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--local-k", type=int, default=9,
+                   help="rows per device = 2^local_k (weak-scaling unit)")
+    p.add_argument("--smoother", default="rbgs")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the virtual CPU mesh")
+    p.add_argument("--cycles", type=int, default=8)
+    args = p.parse_args()
+
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from multigridcmt_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multigridcmt_tpu.config import SolverConfig
+    from multigridcmt_tpu.grids import grid_coords, pad_interior
+    from multigridcmt_tpu.parallel import sharded
+
+    ndev_all = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev_all]
+    results = []
+    for d in sizes:
+        k = args.local_k + int(np.log2(d))
+        cfg = SolverConfig(ndim=2, k=k, dtype=jnp.float32,
+                           smoother=args.smoother)
+        mesh = sharded.make_mesh(jax.devices()[:d])
+        solver = sharded.ShardedSolver(cfg, mesh)
+        n = cfg.n
+        x, y = grid_coords(n, 2, jnp.float32)
+        b = pad_interior((2 * jnp.pi ** 2 * jnp.sin(jnp.pi * x)
+                          * jnp.sin(jnp.pi * y)).astype(jnp.float32))
+        b_sh = sharded.shard_rhs(b, mesh)
+        cycle = solver.v_cycle_fn()
+        xx = cycle(jnp.zeros_like(b_sh), b_sh)
+        float(jnp.sum(xx))                      # fence
+        t0 = time.perf_counter()
+        xx = jnp.zeros_like(b_sh)
+        for _ in range(args.cycles):
+            xx = cycle(xx, b_sh)
+        float(jnp.sum(xx))
+        dt = (time.perf_counter() - t0) / args.cycles
+        results.append((d, n, dt))
+        print(json.dumps({"devices": d, "grid": f"{n}x{n}",
+                          "cycle_ms": round(dt * 1e3, 3)}), flush=True)
+
+    t1 = results[0][2]
+    effs = {d: round(t1 / dt, 3) for d, _, dt in results}
+    print(json.dumps({"metric": "weak_scaling_efficiency",
+                      "per_device": effs,
+                      "target": ">=0.80",
+                      "note": ("virtual CPU mesh — structural validation "
+                               "only" if args.cpu or
+                               jax.default_backend() == "cpu" else
+                               "real hardware")}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

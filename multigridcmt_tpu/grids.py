@@ -126,12 +126,15 @@ def aligned_shape(n: int) -> Tuple[int, int]:
     Mosaic DMA windows must be 8-row-aligned and full 128-multiple width
     (see kernels/stencil2d.py), and the logical padded size 2^k + 1 can't
     satisfy that — so the Pallas path stores each level as
-    (round_up(n+2, 8), round_up(n+2, 128)) with the logical padded grid in
-    the top-left corner and zeros elsewhere. The zero pad region is part of
-    the ghost-boundary invariant: no op ever writes it.
+    (round_up(n+2, 16), round_up(n+2, 128)) with the logical padded grid in
+    the top-left corner and zeros elsewhere. Rows are 16-aligned (not just
+    the DMA-minimum 8) so that the cross-level fused kernels (prolong+
+    correct, residual+restrict) keep coarse-row offsets (fine/2) 8-aligned
+    too. The zero pad region is part of the ghost-boundary invariant: no op
+    ever writes it.
     """
     p = n + 2
-    return (-(-p // 8) * 8, -(-p // 128) * 128)
+    return (-(-p // 16) * 16, -(-p // 128) * 128)
 
 
 def to_aligned(u: jax.Array) -> jax.Array:

@@ -13,7 +13,7 @@ import jax
 from ..grids import from_aligned, to_aligned
 from ..ops import laplacian, smoothers, stencils_aligned, transfer
 from ..solvers.cycles import Backend
-from . import stencil2d
+from . import stencil2d, transfer2d
 
 # Below this interior size, a level uses the aligned-layout jnp stencils
 # instead of a Pallas kernel: the level is cheap either way, and each
@@ -30,13 +30,19 @@ def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
     if n < PALLAS_MIN_N:
         return stencils_aligned.smooth(u, b, n, h, kind=kind, omega=omega,
                                        sweeps=sweeps, sigma=sigma)
-    for _ in range(sweeps):
+    if kind not in ("jacobi", "rbgs"):
+        raise ValueError(f"unknown smoother {kind!r}")
+    # Fuse as many sweeps as the kernel's halo supports into each call —
+    # nu sweeps in one HBM pass instead of nu passes.
+    max_fused = stencil2d.max_fused_sweeps(kind)
+    while sweeps > 0:
+        s = min(sweeps, max_fused)
         if kind == "jacobi":
-            u = stencil2d.jacobi_sweep(u, b, n, h, omega, sigma=sigma)
-        elif kind == "rbgs":
-            u = stencil2d.rbgs_sweep(u, b, n, h, sigma=sigma)
+            u = stencil2d.jacobi_sweep(u, b, n, h, omega, sigma=sigma,
+                                       sweeps=s)
         else:
-            raise ValueError(f"unknown smoother {kind!r}")
+            u = stencil2d.rbgs_sweep(u, b, n, h, sigma=sigma, sweeps=s)
+        sweeps -= s
     return u
 
 
@@ -69,6 +75,24 @@ def _decode(u: jax.Array, n: int) -> jax.Array:
     return from_aligned(u, n) if u.ndim == 2 else u
 
 
+def _residual_restrict(u: jax.Array, b: jax.Array, n: int,
+                       h: float) -> jax.Array:
+    if u.ndim != 2:
+        return transfer.restrict(laplacian.residual(u, b, h))
+    if n < PALLAS_MIN_N:
+        return transfer.restrict_aligned(
+            stencils_aligned.residual(u, b, n, h), n)
+    return transfer2d.residual_restrict(u, b, n, h)
+
+
+def _prolong_add(x: jax.Array, e: jax.Array, n: int, nc: int) -> jax.Array:
+    if x.ndim != 2:
+        return x + transfer.prolong(e)
+    if n < PALLAS_MIN_N:
+        return x + transfer.prolong_aligned(e, nc)
+    return transfer2d.prolong_add(x, e, n, nc)
+
+
 PALLAS_BACKEND = Backend(
     smooth=_smooth,
     residual=_residual,
@@ -76,4 +100,6 @@ PALLAS_BACKEND = Backend(
     prolong=_prolong,
     encode=_encode,
     decode=_decode,
+    residual_restrict=_residual_restrict,
+    prolong_add=_prolong_add,
 )

@@ -206,7 +206,13 @@ def _interior_mask(n, grow, gcol):
 
 
 @functools.lru_cache(maxsize=None)
-def _rbgs_call(n: int, r: int, c: int, h: float, dtype_name: str):
+def _rbgs_call(n: int, r: int, c: int, h: float, dtype_name: str,
+               sweeps: int = 1):
+    """Fused multi-sweep RBGS: `sweeps` full red+black sweeps in ONE HBM
+    pass. Dependency radius is 2 rows per sweep; the _HALO=8 loaded rows
+    support sweeps <= 4 (staleness propagates inward 2 rows/sweep from the
+    tile edge, never reaching the written core)."""
+    assert 1 <= sweeps <= _HALO // 2
     dtype = jnp.dtype(dtype_name)
     h2 = h * h  # Python float: baked into the kernel as a literal
 
@@ -215,23 +221,29 @@ def _rbgs_call(n: int, r: int, c: int, h: float, dtype_name: str):
         interior = _interior_mask(n, grow, gcol)
         red = interior & (((grow + gcol) % 2) == 0)
         black = interior & (((grow + gcol) % 2) == 1)
-        u1 = jnp.where(red, _gs_vals(u, b, inv_den, h2), u)
-        u2 = jnp.where(black, _gs_vals(u1, b, inv_den, h2), u1)
-        return u2
+        for _ in range(sweeps):
+            u = jnp.where(red, _gs_vals(u, b, inv_den, h2), u)
+            u = jnp.where(black, _gs_vals(u, b, inv_den, h2), u)
+        return u
 
     return _make_tiled_kernel(compute, n, r, c, dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _jacobi_call(n: int, r: int, c: int, h: float, omega: float,
-                 dtype_name: str):
+                 dtype_name: str, sweeps: int = 1):
+    """Fused multi-sweep weighted Jacobi (radius 1 row per sweep)."""
+    assert 1 <= sweeps <= _HALO
     dtype = jnp.dtype(dtype_name)
     inv_h2 = 1.0 / (h * h)
 
     def compute(u, b, sigma, grow, gcol):
-        res = _residual_vals(u, b, inv_h2, sigma)
-        vals = u + (omega / (4.0 * inv_h2 - sigma)) * res
-        return jnp.where(_interior_mask(n, grow, gcol), vals, u)
+        interior = _interior_mask(n, grow, gcol)
+        for _ in range(sweeps):
+            res = _residual_vals(u, b, inv_h2, sigma)
+            vals = u + (omega / (4.0 * inv_h2 - sigma)) * res
+            u = jnp.where(interior, vals, u)
+        return u
 
     return _make_tiled_kernel(compute, n, r, c, dtype)
 
@@ -259,23 +271,28 @@ def _dims(u):
     return r, c
 
 
+def max_fused_sweeps(kind: str) -> int:
+    """Most smoothing sweeps a single kernel invocation can fuse."""
+    return _HALO // 2 if kind == "rbgs" else _HALO
+
+
 def rbgs_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
-               sigma=0.0) -> jax.Array:
-    """One fused red+black Gauss-Seidel sweep (single HBM pass).
+               sigma=0.0, sweeps: int = 1) -> jax.Array:
+    """`sweeps` fused red+black Gauss-Seidel sweeps (single HBM pass).
 
     u, b: aligned grids (`grids.to_aligned`); n: logical interior size.
     """
     r, c = u.shape
-    call = _rbgs_call(n, r, c, float(h), jnp.dtype(u.dtype).name)
+    call = _rbgs_call(n, r, c, float(h), jnp.dtype(u.dtype).name, sweeps)
     return call(_sigma_arr(sigma, u.dtype), u, b)
 
 
 def jacobi_sweep(u: jax.Array, b: jax.Array, n: int, h: float, omega: float,
-                 sigma=0.0) -> jax.Array:
-    """One fused weighted-Jacobi sweep (residual + update in one pass)."""
+                 sigma=0.0, sweeps: int = 1) -> jax.Array:
+    """`sweeps` fused weighted-Jacobi sweeps (single HBM pass)."""
     r, c = u.shape
     call = _jacobi_call(n, r, c, float(h), float(omega),
-                        jnp.dtype(u.dtype).name)
+                        jnp.dtype(u.dtype).name, sweeps)
     return call(_sigma_arr(sigma, u.dtype), u, b)
 
 

@@ -53,6 +53,11 @@ class Backend(NamedTuple):
     prolong: Callable
     encode: Callable
     decode: Callable
+    # Optional fused ops (None -> composed from the basics):
+    #   residual_restrict(u, b, n, h) = restrict(residual(u, b, n, h))
+    #   prolong_add(x, e, n, nc) = x + prolong(e, nc)
+    residual_restrict: Callable | None = None
+    prolong_add: Callable | None = None
 
 
 JNP_BACKEND = Backend(
@@ -110,13 +115,22 @@ def v_cycle(hier: Hierarchy, x: jax.Array, b: jax.Array,
         return coarse_solve(hier, b, sigma, backend=bk)
     x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
                   sweeps=config.nu1, sigma=sigma)
-    r = bk.residual(x, b, spec.n, spec.h, sigma=sigma)
-    rc = bk.restrict(r, spec.n)
+    # Fused residual+restrict / prolong+correct save a full-grid HBM round
+    # trip each when the backend provides them (Pallas path, sigma = 0).
+    if bk.residual_restrict is not None and laplacian._is_zero(sigma):
+        rc = bk.residual_restrict(x, b, spec.n, spec.h)
+    else:
+        r = bk.residual(x, b, spec.n, spec.h, sigma=sigma)
+        rc = bk.restrict(r, spec.n)
     ec = jnp.zeros_like(rc)
     for _ in range(gamma):
         ec = v_cycle(hier, ec, rc, config, level=level + 1, sigma=sigma,
                      gamma=gamma)
-    x = x + bk.prolong(ec, hier.levels[level + 1].n)
+    nc = hier.levels[level + 1].n
+    if bk.prolong_add is not None:
+        x = bk.prolong_add(x, ec, spec.n, nc)
+    else:
+        x = x + bk.prolong(ec, nc)
     x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
                   sweeps=config.nu2, sigma=sigma)
     return x

@@ -145,3 +145,51 @@ def test_pallas_solve_converges():
     err = np.abs(np.asarray(interior(res.x))
                  - np.asarray(interior(prob.u_exact))).max()
     assert err < 1e-3
+
+
+@pytest.mark.parametrize("n", [63, 255, 511])
+def test_prolong_add_kernel(n):
+    from multigridcmt_tpu.kernels import transfer2d
+
+    nc = (n - 1) // 2
+    rng = np.random.default_rng(7)
+    x = pad_interior(jnp.asarray(rng.standard_normal((n, n)),
+                                 dtype=jnp.float32))
+    e = pad_interior(jnp.asarray(rng.standard_normal((nc, nc)),
+                                 dtype=jnp.float32))
+    want = x + transfer.prolong(e)
+    got_a = transfer2d.prolong_add(to_aligned(x), to_aligned(e), n, nc)
+    np.testing.assert_allclose(np.asarray(from_aligned(got_a, n)),
+                               np.asarray(want), rtol=2e-6, atol=2e-6)
+    _check_pad_zero(got_a, n)
+
+
+@pytest.mark.parametrize("n", [63, 255, 511])
+def test_residual_restrict_kernel(n):
+    from multigridcmt_tpu.kernels import transfer2d
+
+    nc = (n - 1) // 2
+    h = 1.0 / (n + 1)
+    u, b = _rand(n, seed=8)
+    want = transfer.restrict(laplacian.residual(u, b, h))
+    got_a = transfer2d.residual_restrict(to_aligned(u), to_aligned(b), n, h)
+    np.testing.assert_allclose(np.asarray(from_aligned(got_a, nc)),
+                               np.asarray(want), rtol=2e-4, atol=2e-3)
+    _check_pad_zero(got_a, nc)
+
+
+@pytest.mark.parametrize("kind,sweeps", [("rbgs", 2), ("rbgs", 3),
+                                         ("jacobi", 2), ("jacobi", 4)])
+def test_multisweep_kernels(kind, sweeps):
+    n = 255
+    h = 1.0 / (n + 1)
+    u, b = _rand(n, seed=9)
+    want = smoothers.smooth(u, b, h, kind=kind, omega=0.8, sweeps=sweeps)
+    if kind == "rbgs":
+        got_a = stencil2d.rbgs_sweep(to_aligned(u), to_aligned(b), n, h,
+                                     sweeps=sweeps)
+    else:
+        got_a = stencil2d.jacobi_sweep(to_aligned(u), to_aligned(b), n, h,
+                                       0.8, sweeps=sweeps)
+    np.testing.assert_allclose(np.asarray(from_aligned(got_a, n)),
+                               np.asarray(want), rtol=1e-4, atol=1e-4)

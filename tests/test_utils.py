@@ -1,0 +1,66 @@
+"""Aux-subsystem tests: metrics JSONL, divergence guard, checkpoint/resume
+(SURVEY.md §5)."""
+import io
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import multigridcmt_tpu as mg
+from multigridcmt_tpu.utils import checkpoint, metrics
+
+
+def test_metrics_logger_jsonl():
+    buf = io.StringIO()
+    m = metrics.MetricsLogger(buf)
+    m.log("iteration", iter=1, residual=1e-3, rho=0.1)
+    rec = json.loads(buf.getvalue().strip())
+    assert rec["event"] == "iteration"
+    assert rec["residual"] == 1e-3
+    assert "t" in rec
+
+
+def test_metrics_solve_result():
+    prob = mg.poisson1d(k=6, dtype=jnp.float64, tol=1e-8)
+    res = mg.MultigridSolver(prob).solve()
+    buf = io.StringIO()
+    metrics.MetricsLogger(buf).log_solve_result(res, prob.config)
+    lines = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert lines[-1]["event"] == "solve_done"
+    assert lines[-1]["converged"] is True
+    assert lines[-1]["iters"] == int(res.iters)
+    # per-iteration records count matches
+    assert sum(1 for r in lines if r["event"] == "iteration") == \
+        int(res.iters) + 1
+
+
+def test_divergence_guard():
+    hist = np.array([1.0, 0.5, 1.2, 2.9])
+    assert metrics.divergence_guard(hist, 3)
+    hist2 = np.array([1.0, 0.1, 0.01, 0.001])
+    assert not metrics.divergence_guard(hist2, 3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, tol=1e-10, max_iters=3)
+    solver = mg.MultigridSolver(prob)
+    partial = solver.solve()          # stops at max_iters=3, unconverged
+    assert not bool(partial.converged)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_state(path, partial.x, partial.res_history,
+                          partial.iters)
+    state = checkpoint.load_state(path)
+    np.testing.assert_array_equal(state["x"], np.asarray(partial.x))
+    assert int(state["iters"]) == 3
+
+    # Resume: a fresh solver continues from the snapshot to convergence.
+    prob2 = mg.poisson2d(k=5, dtype=jnp.float64, tol=1e-9, max_iters=50)
+    solver2 = mg.MultigridSolver(prob2)
+    resumed = checkpoint.resume_solve(solver2, path)
+    assert bool(resumed.converged)
+    # The resumed solve starts from the partial solution: it needs fewer
+    # cycles than a cold solve.
+    cold = solver2.solve()
+    assert int(resumed.iters) < int(cold.iters)
