@@ -30,6 +30,11 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--k", type=int, default=12, help="grid: (2^k - 1)^2")
     p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--cycle", default="v", choices=["v", "w", "fmg"])
+    p.add_argument("--eigen", type=int, default=0, metavar="K",
+                   help="instead of solving, find the K smallest "
+                        "eigenpairs with the distributed eigensolver")
+    p.add_argument("--f64", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     args = p.parse_args()
@@ -37,11 +42,23 @@ def main():
     if args.multihost:
         jax.distributed.initialize()
 
-    cfg = SolverConfig(ndim=2, k=args.k, dtype=jnp.float32, smoother="rbgs",
-                       tol=args.tol)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    cfg = SolverConfig(ndim=2, k=args.k, dtype=dtype, smoother="rbgs",
+                       cycle=args.cycle, tol=args.tol)
     mesh = sharded.make_mesh()
     solver = sharded.ShardedSolver(cfg, mesh)
-    prob = mg.poisson2d(k=args.k, dtype=jnp.float32)
+
+    if args.eigen:
+        res = solver.eigensolve(k=args.eigen, tol=max(args.tol, 1e-9))
+        if jax.process_index() == 0:
+            lam = np.sort(np.asarray(res.eigenvalues))
+            print(f"n={cfg.n}^2 on {solver.ndev} devices: "
+                  f"iters={int(res.iters)} converged={bool(res.converged)}")
+            print(f"eigenvalues: {lam}  (lambda_1 -> 2*pi^2 = "
+                  f"{2 * np.pi ** 2:.6f} as h -> 0)")
+        return
+
+    prob = mg.poisson2d(k=args.k, dtype=dtype)
     res = solver.solve(prob.b)
     if jax.process_index() == 0:
         rho = float(mg.convergence_factor(res))

@@ -13,7 +13,7 @@ import jax
 from ..grids import from_aligned, to_aligned
 from ..ops import laplacian, smoothers, stencils_aligned, transfer
 from ..solvers.cycles import Backend
-from . import stencil2d, transfer2d
+from . import fused2d, stencil2d, transfer2d
 
 # Below this interior size, a level uses the aligned-layout jnp stencils
 # instead of a Pallas kernel: the level is cheap either way, and each
@@ -93,6 +93,27 @@ def _prolong_add(x: jax.Array, e: jax.Array, n: int, nc: int) -> jax.Array:
     return transfer2d.prolong_add(x, e, n, nc)
 
 
+def _smooth_residual_restrict(u, b, n, h, *, kind, omega, sweeps,
+                              sigma=0.0):
+    """Whole-down-leg fusion; None declines to the composed path (1D,
+    small levels, or more sweeps than one kernel's halo supports)."""
+    if (u.ndim != 2 or n < PALLAS_MIN_N
+            or sweeps > fused2d.max_down_sweeps(kind)):
+        return None
+    return fused2d.smooth_residual_restrict(
+        u, b, n, h, kind=kind, omega=omega, sweeps=sweeps, sigma=sigma)
+
+
+def _prolong_add_smooth(x, e, b, n, nc, h, *, kind, omega, sweeps,
+                        sigma=0.0):
+    if (x.ndim != 2 or n < PALLAS_MIN_N
+            or sweeps > fused2d.max_up_sweeps(kind)):
+        return None
+    return fused2d.prolong_add_smooth(
+        x, e, b, n, nc, h, kind=kind, omega=omega, sweeps=sweeps,
+        sigma=sigma)
+
+
 PALLAS_BACKEND = Backend(
     smooth=_smooth,
     residual=_residual,
@@ -102,4 +123,6 @@ PALLAS_BACKEND = Backend(
     decode=_decode,
     residual_restrict=_residual_restrict,
     prolong_add=_prolong_add,
+    smooth_residual_restrict=_smooth_residual_restrict,
+    prolong_add_smooth=_prolong_add_smooth,
 )

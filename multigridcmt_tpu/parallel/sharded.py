@@ -233,18 +233,22 @@ def _scatter_local(full, m, axis):
 
 
 def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, ndev: int,
-                     axis: str, x, b, level: int, gamma: int = 1):
+                     axis: str, x, b, level: int, gamma: int = 1,
+                     sigma=0.0):
     """Recursive cycle; per-level arrays are owned tiles while the level is
-    sharded and full replicated grids below the agglomeration cutoff."""
+    sharded and full replicated grids below the agglomeration cutoff.
+    ``sigma`` shifts the operator to A - sigma*I (eigensolver inner
+    solves, SURVEY.md §3.3)."""
     spec = hier.levels[level]
     n, h = spec.n, spec.h
     omega = cfg.effective_omega()
     if not _is_sharded(cfg, ndev, level):
         # Replicated region: identical unsharded cycle on every device.
-        return cycles.v_cycle(hier, x, b, cfg, level=level, gamma=gamma)
+        return cycles.v_cycle(hier, x, b, cfg, level=level, gamma=gamma,
+                              sigma=sigma)
     x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
-                 sweeps=cfg.nu1, axis=axis, ndev=ndev)
-    r = s_residual(x, b, n, h, axis, ndev)
+                 sweeps=cfg.nu1, axis=axis, ndev=ndev, sigma=sigma)
+    r = s_residual(x, b, n, h, axis, ndev, sigma)
     rc = s_restrict(r, n, axis, ndev)
     nc = hier.levels[level + 1].n
     if not _is_sharded(cfg, ndev, level + 1):
@@ -253,7 +257,8 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, ndev: int,
         ec_full = jnp.zeros_like(rc_full)
         for _ in range(gamma):
             ec_full = cycles.v_cycle(hier, ec_full, rc_full, cfg,
-                                     level=level + 1, gamma=gamma)
+                                     level=level + 1, gamma=gamma,
+                                     sigma=sigma)
         ef_full = transfer.prolong(ec_full)
         mloc = _level_rows(cfg.k, level) // ndev
         x = x + _scatter_local(ef_full, mloc, axis)
@@ -261,10 +266,49 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, ndev: int,
         ec = jnp.zeros_like(rc)
         for _ in range(gamma):
             ec = _sharded_v_cycle(hier, cfg, ndev, axis, ec, rc,
-                                  level + 1, gamma)
+                                  level + 1, gamma, sigma)
         x = x + s_prolong(ec, nc, axis, ndev)
     x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
-                 sweeps=cfg.nu2, axis=axis, ndev=ndev)
+                 sweeps=cfg.nu2, axis=axis, ndev=ndev, sigma=sigma)
+    return x
+
+
+def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, ndev: int, axis: str,
+                 b, gamma: int = 1, n_vcycles: int = 1):
+    """Distributed full multigrid (SURVEY.md §3.2 on the §3.5 runtime).
+
+    The RHS is restricted down through the sharded levels (halo ppermute),
+    gathered at the agglomeration cutoff, direct-solved replicated on the
+    coarsest level, and the solution walked back up — scattered into owned
+    tiles when it re-enters the sharded region — with ``n_vcycles``
+    distributed V-cycles per level.
+    """
+    bs = [b]
+    for lev in range(hier.num_levels - 1):
+        if _is_sharded(cfg, ndev, lev):
+            if _is_sharded(cfg, ndev, lev + 1):
+                bs.append(s_restrict(bs[-1], hier.levels[lev].n, axis, ndev))
+            else:  # crossing the agglomeration cutoff
+                full = _gather_full(bs[-1], hier.levels[lev].n, axis)
+                bs.append(transfer.restrict(full))
+        else:
+            bs.append(transfer.restrict(bs[-1]))
+    # The coarsest level is always replicated (agglom_rows >= 2 guarantees
+    # tiny levels fail _is_sharded).
+    x = cycles.coarse_solve(hier, bs[-1], backend=cycles.JNP_BACKEND)
+    for level in range(hier.num_levels - 2, -1, -1):
+        if _is_sharded(cfg, ndev, level):
+            if _is_sharded(cfg, ndev, level + 1):
+                x = s_prolong(x, hier.levels[level + 1].n, axis, ndev)
+            else:  # re-entering the sharded region
+                xf_full = transfer.prolong(x)
+                mloc = _level_rows(cfg.k, level) // ndev
+                x = _scatter_local(xf_full, mloc, axis)
+        else:
+            x = transfer.prolong(x)
+        for _ in range(n_vcycles):
+            x = _sharded_v_cycle(hier, cfg, ndev, axis, x, bs[level],
+                                 level, gamma)
     return x
 
 
@@ -319,7 +363,12 @@ class ShardedSolver:
         gamma = 2 if cfg.cycle == "w" else 1
 
         def local_solve(b):
-            x = jnp.zeros_like(b)
+            if cfg.cycle == "fmg":
+                # FMG is a direct method (cycles.solve semantics): run it
+                # once, then polish with V-cycles if tol asks for more.
+                x = _sharded_fmg(hier, cfg, ndev, axis, b)
+            else:
+                x = jnp.zeros_like(b)
             n, h = hier.fine.n, hier.fine.h
             b_norm = jnp.sqrt(_psum_sq(b, axis))
             b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
@@ -366,6 +415,160 @@ class ShardedSolver:
         return cycles.SolveResult(
             x=jnp.asarray(unshard(x)), iters=iters, res_history=hist,
             converged=conv)
+
+    def eigensolve(self, k: int = 1, method: str = "ii", tol: float = 1e-8,
+                   max_iters: int = 100, inner_cycles: int = 30,
+                   inner_tol: Optional[float] = None):
+        """Distributed MG eigensolver: k smallest eigenpairs (SURVEY.md
+        §3.3 on the §3.5 runtime).
+
+        Same algorithm as solvers.eigen.eigensolve — nested-iteration
+        coarse init, block inverse iteration (or RQI shifts) with the
+        inner solves done by distributed V-cycles, Rayleigh-Ritz per
+        outer step — with every inner product ``psum``-ed over the mesh
+        (BASELINE.json:5 "psum for ... Rayleigh quotients"). Eigenvector
+        tiles stay row-partitioned end-to-end.
+        """
+        from ..solvers import eigen as seigen
+
+        if method not in ("ii", "rqi"):
+            raise ValueError(f"unknown eigensolver method {method!r}")
+        cfg, hier, axis, ndev = (self.config, self.hierarchy, self.axis,
+                                 self.ndev)
+        n, h = hier.fine.n, hier.fine.h
+        dtype = cfg.dtype
+        if inner_tol is None:
+            inner_tol = 200.0 * float(jnp.finfo(dtype).eps)
+
+        def apply_local(u):
+            """A u on owned tiles (one halo exchange)."""
+            return -s_residual(u, jnp.zeros_like(u), n, h, axis, ndev)
+
+        def psum_dots(f, g):
+            """(k, k) Gram-type matrix of flattened local tiles."""
+            return jax.lax.psum(
+                jnp.einsum("iX,jX->ij", f, g,
+                           preferred_element_type=dtype), axis)
+
+        def flat(v):
+            return v.reshape(v.shape[0], -1)
+
+        def rayleigh(v):
+            av = jax.vmap(apply_local)(v)
+            fv, fav = flat(v), flat(av)
+            num = jax.lax.psum(jnp.sum(fv * fav, axis=1), axis)
+            den = jax.lax.psum(jnp.sum(fv * fv, axis=1), axis)
+            lam = num / den
+            rr = fav - lam[:, None] * fv
+            res = jnp.sqrt(jax.lax.psum(jnp.sum(rr * rr, axis=1),
+                                        axis)) / jnp.abs(lam)
+            return lam, jnp.max(res)
+
+        def inner_solve(v, sigma):
+            def one(rhs, sg):
+                rn = jnp.sqrt(jax.lax.psum(jnp.sum(rhs * rhs), axis))
+                rn = jnp.where(rn == 0, 1.0, rn)
+
+                def cond(st):
+                    w, i, rel = st
+                    return (rel >= inner_tol) & (i < inner_cycles)
+
+                def body(st):
+                    w, i, rel = st
+                    w = _sharded_v_cycle(hier, cfg, ndev, axis, w, rhs, 0,
+                                         sigma=sg)
+                    r = s_residual(w, rhs, n, h, axis, ndev, sg)
+                    rel = jnp.sqrt(jax.lax.psum(jnp.sum(r * r),
+                                                axis)) / rn
+                    return w, i + 1, rel
+
+                w, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.zeros_like(rhs), 0, jnp.ones((), dtype=dtype)))
+                return w
+
+            return jax.vmap(one)(v, sigma)
+
+        def ritz(w):
+            """Generalized Rayleigh-Ritz on the (non-orthonormal) block:
+            H s = theta G s via Cholesky of the psum-ed Gram matrix.
+            Rows are pre-normalized: RQI inner solves return vectors of
+            wildly different magnitudes (1/|lambda - sigma| growth), and
+            an unequilibrated Gram matrix wrecks the Cholesky."""
+            nrm0 = jnp.sqrt(jax.lax.psum(
+                jnp.sum(flat(w) * flat(w), axis=1), axis))
+            w = w / jnp.where(nrm0 == 0, 1.0, nrm0)[:, None, None]
+            f = flat(w)
+            aw = flat(jax.vmap(apply_local)(w))
+            g = psum_dots(f, f)
+            hm = psum_dots(f, aw)
+            hm = 0.5 * (hm + hm.T)
+            ell = jnp.linalg.cholesky(g)
+            li = jax.scipy.linalg.solve_triangular(
+                ell, jnp.eye(k, dtype=dtype), lower=True)
+            ht = li @ hm @ li.T
+            lam, s = jnp.linalg.eigh(0.5 * (ht + ht.T))
+            rot = (li.T @ s).T                     # (k, k): rows are Ritz
+            f2 = rot @ f
+            # Normalize rows (Ritz vectors of a symmetric pencil come out
+            # G-orthonormal, i.e. already unit — this guards roundoff).
+            nrm = jnp.sqrt(jax.lax.psum(jnp.sum(f2 * f2, axis=1), axis))
+            f2 = f2 / nrm[:, None]
+            return f2.reshape(w.shape), lam
+
+        rqi_active_tol, rqi_polish_tol = 1e-2, 1e-5
+
+        def local_eigen(v):
+            lam0, res0 = rayleigh(v)
+            hist0 = jnp.full((max_iters + 1,), res0, dtype=dtype)
+
+            def cond(st):
+                _, _, it, _, res = st
+                return (res >= tol) & (it < max_iters)
+
+            def body(st):
+                v, lam, it, hist, res = st
+                if method == "rqi":
+                    # Shift back-off as in solvers.eigen: strictly below
+                    # lambda_min keeps every level SPD; drop the shift in
+                    # the endgame so plain II polishes to tol.
+                    on = (res < rqi_active_tol) & (res > rqi_polish_tol)
+                    sigma = jnp.where(on, lam * 0.9, jnp.zeros_like(lam))
+                else:
+                    sigma = jnp.zeros_like(lam)
+                w = inner_solve(v, sigma)
+                v2, lam2 = ritz(w)
+                lam2b, res2 = rayleigh(v2)
+                hist = hist.at[it + 1].set(res2)
+                return v2, lam2b, it + 1, hist, res2
+
+            v, lam, iters, hist, res = jax.lax.while_loop(
+                cond, body, (v, lam0, 0, hist0, res0))
+            idx = jnp.arange(max_iters + 1)
+            hist = jnp.where(idx <= iters, hist, res)
+            return v, lam, iters, hist, res < tol
+
+        from jax import shard_map
+
+        fn = jax.jit(shard_map(
+            local_eigen, mesh=self.mesh,
+            in_specs=P(None, self.axis, None),
+            out_specs=(P(None, self.axis, None), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+
+        # Nested-iteration start (replicated, host-side setup as in the
+        # single-device path), sharded into row tiles.
+        v0 = seigen.coarse_init(self.hierarchy, k, dtype)   # (k, n+2, n+2)
+        v0_rows = jnp.asarray(v0)[:, 1:, :]
+        v0_sh = jax.device_put(
+            v0_rows, NamedSharding(self.mesh, P(None, self.axis, None)))
+        v, lam, iters, hist, conv = fn(v0_sh)
+        v_full = np.pad(np.asarray(jax.device_get(v)),
+                        ((0, 0), (1, 0), (0, 0)))
+        return seigen.EigenResult(
+            eigenvalues=lam, eigenvectors=jnp.asarray(v_full), iters=iters,
+            res_history=hist, converged=conv)
 
     def v_cycle_fn(self):
         """The jitted sharded cycle (for benchmarking): tiles -> tiles."""

@@ -58,6 +58,15 @@ class Backend(NamedTuple):
     #   prolong_add(x, e, n, nc) = x + prolong(e, nc)
     residual_restrict: Callable | None = None
     prolong_add: Callable | None = None
+    # Optional whole-leg fusions (kernels/fused2d.py) — one HBM pass per
+    # V-cycle leg. Return None from the callable to decline a case (the
+    # driver then composes from the ops above):
+    #   smooth_residual_restrict(u, b, n, h, kind=, omega=, sweeps=,
+    #       sigma=) -> (u', rc) | None
+    #   prolong_add_smooth(x, e, b, n, nc, h, kind=, omega=, sweeps=,
+    #       sigma=) -> x' | None
+    smooth_residual_restrict: Callable | None = None
+    prolong_add_smooth: Callable | None = None
 
 
 JNP_BACKEND = Backend(
@@ -113,26 +122,43 @@ def v_cycle(hier: Hierarchy, x: jax.Array, b: jax.Array,
     omega = config.effective_omega()
     if level == hier.num_levels - 1:
         return coarse_solve(hier, b, sigma, backend=bk)
-    x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
-                  sweeps=config.nu1, sigma=sigma)
-    # Fused residual+restrict / prolong+correct save a full-grid HBM round
-    # trip each when the backend provides them (Pallas path, sigma = 0).
-    if bk.residual_restrict is not None and laplacian._is_zero(sigma):
-        rc = bk.residual_restrict(x, b, spec.n, spec.h)
+    # Down leg: whole-leg fusion (one HBM pass) when the backend offers it,
+    # else smooth + (fused or composed) residual/restrict.
+    down = None
+    if bk.smooth_residual_restrict is not None:
+        down = bk.smooth_residual_restrict(
+            x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
+            sweeps=config.nu1, sigma=sigma)
+    if down is not None:
+        x, rc = down
     else:
-        r = bk.residual(x, b, spec.n, spec.h, sigma=sigma)
-        rc = bk.restrict(r, spec.n)
+        x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother,
+                      omega=omega, sweeps=config.nu1, sigma=sigma)
+        if bk.residual_restrict is not None and laplacian._is_zero(sigma):
+            rc = bk.residual_restrict(x, b, spec.n, spec.h)
+        else:
+            r = bk.residual(x, b, spec.n, spec.h, sigma=sigma)
+            rc = bk.restrict(r, spec.n)
     ec = jnp.zeros_like(rc)
     for _ in range(gamma):
         ec = v_cycle(hier, ec, rc, config, level=level + 1, sigma=sigma,
                      gamma=gamma)
     nc = hier.levels[level + 1].n
-    if bk.prolong_add is not None:
-        x = bk.prolong_add(x, ec, spec.n, nc)
+    # Up leg, symmetric.
+    up = None
+    if bk.prolong_add_smooth is not None:
+        up = bk.prolong_add_smooth(
+            x, ec, b, spec.n, nc, spec.h, kind=config.smoother, omega=omega,
+            sweeps=config.nu2, sigma=sigma)
+    if up is not None:
+        x = up
     else:
-        x = x + bk.prolong(ec, nc)
-    x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
-                  sweeps=config.nu2, sigma=sigma)
+        if bk.prolong_add is not None:
+            x = bk.prolong_add(x, ec, spec.n, nc)
+        else:
+            x = x + bk.prolong(ec, nc)
+        x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother,
+                      omega=omega, sweeps=config.nu2, sigma=sigma)
     return x
 
 

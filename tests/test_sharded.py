@@ -122,3 +122,50 @@ def test_solution_accuracy_sharded():
     err = np.abs(np.asarray(interior(got.x))
                  - np.asarray(interior(prob.u_exact))).max()
     assert err < 1e-3   # discretization-level accuracy at k=6
+
+
+@needs_8
+def test_sharded_fmg_matches_unsharded():
+    """Distributed FMG == single-device FMG (same cycle="fmg" solve)."""
+    cfg = SolverConfig(ndim=2, k=6, dtype=jnp.float64, smoother="rbgs",
+                      cycle="fmg", tol=1e-10, agglom_rows=4)
+    prob = mg.poisson2d(k=6, dtype=jnp.float64, smoother="rbgs",
+                        cycle="fmg", tol=1e-10)
+    ref = mg.MultigridSolver(prob).solve()
+    got = sharded.ShardedSolver(cfg, _mesh()).solve(prob.b)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
+    # FMG alone reaches discretization accuracy: first recorded residual
+    # (post-FMG) is already small.
+    assert float(got.res_history[0]) < 1e-3
+
+
+@needs_8
+@pytest.mark.parametrize("method,kk", [("ii", 3), ("rqi", 1)])
+def test_sharded_eigensolve_matches_unsharded(method, kk):
+    """Distributed eigensolver: same eigenvalues as the single-device path
+    and the analytic spectrum (psum Rayleigh quotients, sharded inner
+    V-cycles). RQI at k=1 only — per-vector shifts near lambda_2 make
+    A - sigma*I indefinite, outside MG's contract (same as the
+    single-device path, tests/test_eigen.py)."""
+    k_grid = 5
+    cfg = SolverConfig(ndim=2, k=k_grid, dtype=jnp.float64, smoother="rbgs",
+                      agglom_rows=4)
+    prob = mg.poisson2d(k=k_grid, dtype=jnp.float64, smoother="rbgs")
+    ref = mg.MultigridSolver(prob).eigensolve(k=kk, method=method, tol=1e-9)
+    got = sharded.ShardedSolver(cfg, _mesh()).eigensolve(
+        k=kk, method=method, tol=1e-9)
+    assert bool(got.converged)
+    np.testing.assert_allclose(np.sort(np.asarray(got.eigenvalues)),
+                               np.sort(np.asarray(ref.eigenvalues)),
+                               rtol=1e-8)
+    # Analytic check: lambda_{ij} = (2/h^2)(2 - cos(i pi h) - cos(j pi h)).
+    n = 2 ** k_grid - 1
+    h = 1.0 / (n + 1)
+    ij = [(1, 1), (1, 2), (2, 1)][:kk]
+    want = np.sort([2.0 / h ** 2 * (2 - np.cos(i * np.pi * h)
+                                    - np.cos(j * np.pi * h))
+                    for i, j in ij])
+    np.testing.assert_allclose(np.sort(np.asarray(got.eigenvalues)), want,
+                               rtol=1e-9)
