@@ -47,11 +47,12 @@ from .stencil2d import _gs_vals, _interpret, _neighbors, _residual_vals
 # Tile sizes are VMEM-budgeted: scratch buffers plus ~6 Mosaic stack
 # temporaries of (window x width) must fit the ~16 MB VMEM at the 4095^2
 # level (width 4224 fp32 = 16.9 KB/row) — measured, not guessed: T_DN=96
-# compiles to a 23 MB footprint and is rejected.
+# (112-row windows) compiles to a 22.4 MB footprint and is rejected even
+# with the masks scoped tightly; T_DN=64 (80-row windows) fits.
 _HALO_DN = 8      # down-leg halo rows per side
 _HALO_UP = 8      # up-leg halo rows per side
-_T_DN = 48        # down-leg output rows per tile (multiple of 16)
-_T_UP = 32        # up-leg output rows per tile (multiple of 16)
+_T_DN = 64        # down-leg output rows per tile (multiple of 16)
+_T_UP = 48        # up-leg output rows per tile (multiple of 16)
 
 
 def max_down_sweeps(kind: str) -> int:
@@ -72,17 +73,26 @@ def _imask(n, grow, gcol):
     return (grow >= 1) & (grow <= n) & (gcol >= 1) & (gcol <= n)
 
 
-def _smooth_tile(u, b, sigma, grow, gcol, n, h2, kind, omega, sweeps,
-                 dtype):
+def _masks(n, ps, shape):
+    """(interior, red) boolean masks for a window starting at global row
+    ps. Built in one scope so the fat int32 iotas die immediately —
+    keeping them live through the sweeps is pure VMEM-stack waste."""
+    grow = ps + _iota2(shape, 0)
+    gcol = _iota2(shape, 1)
+    interior = (grow >= 1) & (grow <= n) & (gcol >= 1) & (gcol <= n)
+    red = ((grow + gcol) % 2) == 0
+    return interior, red
+
+
+def _smooth_tile(u, b, sigma, interior, red, h2, kind, omega, sweeps):
     """nu masked smoother sweeps on a full tile (edges go stale inward)."""
-    interior = _imask(n, grow, gcol)
     if kind == "rbgs":
         inv_den = 1.0 / (4.0 - sigma * h2)
-        red = interior & (((grow + gcol) % 2) == 0)
-        black = interior & (((grow + gcol) % 2) == 1)
+        redm = interior & red
+        blackm = interior & (~red)
         for _ in range(sweeps):
-            u = jnp.where(red, _gs_vals(u, b, inv_den, h2), u)
-            u = jnp.where(black, _gs_vals(u, b, inv_den, h2), u)
+            u = jnp.where(redm, _gs_vals(u, b, inv_den, h2), u)
+            u = jnp.where(blackm, _gs_vals(u, b, inv_den, h2), u)
     else:
         inv_h2 = 1.0 / h2
         for _ in range(sweeps):
@@ -152,16 +162,29 @@ def _down_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
             for cp in in_copies(i, slot):
                 cp.wait()
             oo, ps = offsets(i)
-            grow = ps + _iota2((lt, c), 0)
-            gcol = _iota2((lt, c), 1)
-            u = _smooth_tile(ubuf[slot], bbuf[slot], sigma, grow, gcol, n,
-                             h2, kind, omega, sweeps, dtype)
+            interior, red = _masks(n, ps, (lt, c))
+            u = _smooth_tile(ubuf[slot], bbuf[slot], sigma, interior, red,
+                             h2, kind, omega, sweeps)
+
+            # Park the smoothed window in obuf right away (the slot's
+            # previous DMA must have drained first) so its live range ends
+            # here instead of spanning the restriction below.
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, pl.ds(0, t), :],
+                    u_out.at[pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
+                    out_sems.at[slot, 1]).wait()
+
+            obuf[slot, :, :] = u
 
             # Residual on the smoothed window (stale only within
             # 2*sweeps+1 rows of the window edge, which the restriction
             # below never reads for its valid coarse rows).
-            res = _residual_vals(u, bbuf[slot], inv_h2, sigma)
-            res = jnp.where(_imask(n, grow, gcol), res, jnp.zeros_like(res))
+            res = _residual_vals(obuf[slot], bbuf[slot], inv_h2, sigma)
+            res = jnp.where(interior, res, jnp.zeros_like(res))
 
             # Row full-weighting at every window row.
             tvals = (0.25 * pltpu.roll(res, 1, 0) + 0.5 * res
@@ -187,15 +210,6 @@ def _down_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
             jc0 = pl.multiple_of(oo // 2, 8)
             gjc = jc0 + _iota2((tc, 128), 0)
 
-            @pl.when(i >= 2)
-            def _():
-                pltpu.make_async_copy(
-                    obuf.at[slot, pl.ds(0, t), :],
-                    u_out.at[pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(
-                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
-                    out_sems.at[slot, 1]).wait()
-
             for blk in range(nb + rem):
                 w = 256 if blk < nb else 128
                 seg = scol[:, blk * 256: blk * 256 + w]
@@ -213,7 +227,6 @@ def _down_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
             if filled < cc:
                 cbuf[slot, :, filled:] = jnp.zeros((tc, cc - filled), dtype)
 
-            obuf[slot, :, :] = u
             pltpu.make_async_copy(
                 obuf.at[slot, pl.ds(pl.multiple_of(co, 8), t), :],
                 u_out.at[pl.ds(oo, t), :], out_sems.at[slot, 0]).start()
@@ -383,9 +396,7 @@ def _up_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
                   + 0.5 * (g == 2 * m - 1).astype(dtype))
             m2 = 0.5 * ((m == 127) & (g == 255)).astype(dtype)
             cs = pltpu.roll(rows_f, cc - 1, 1)
-            grow = pf + _iota2((ltf, c), 0)
-            gcol = _iota2((ltf, c), 1)
-            mask = _imask(n, grow, gcol)
+            interior, red = _masks(n, pf, (ltf, c))
             w = xbuf[slot]
             for blk in range(cc // 128):
                 lo = blk * 256
@@ -403,11 +414,11 @@ def _up_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST))
                 rbuf[:, lo:lo + wdt] = pe[:, :wdt].astype(dtype)
-            w = jnp.where(mask, w + rbuf[:, :], w)
+            w = jnp.where(interior, w + rbuf[:, :], w)
 
             # nu2 smoother sweeps on the corrected window.
-            w = _smooth_tile(w, bbuf[slot], sigma, grow, gcol, n, h2, kind,
-                             omega, sweeps, dtype)
+            w = _smooth_tile(w, bbuf[slot], sigma, interior, red, h2, kind,
+                             omega, sweeps)
 
             @pl.when(i >= 2)
             def _():

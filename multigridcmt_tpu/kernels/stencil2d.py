@@ -134,9 +134,7 @@ def _make_tiled_kernel(compute_tile, n: int, r: int, c: int, dtype):
             for cp in in_copies(i, slot):
                 cp.wait()
             oo, ps = offsets(i)
-            grow = ps + jax.lax.broadcasted_iota(jnp.int32, (lt, c), 0)
-            gcol = jax.lax.broadcasted_iota(jnp.int32, (lt, c), 1)
-            vals = compute_tile(ubuf[slot], bbuf[slot], sigma, grow, gcol)
+            vals = compute_tile(ubuf[slot], bbuf[slot], sigma, ps)
 
             # Wait for the previous DMA out of this output slot before
             # overwriting the buffer.
@@ -201,8 +199,15 @@ def _make_tiled_kernel(compute_tile, n: int, r: int, c: int, dtype):
     return call
 
 
-def _interior_mask(n, grow, gcol):
-    return (grow >= 1) & (grow <= n) & (gcol >= 1) & (gcol <= n)
+def _tile_masks(n, ps, shape):
+    """(interior, red) masks for a window at global row offset ps, built
+    in one scope so the full-size int32 iotas die immediately instead of
+    occupying Mosaic stack VMEM across the whole tile computation."""
+    grow = ps + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    interior = (grow >= 1) & (grow <= n) & (gcol >= 1) & (gcol <= n)
+    red = ((grow + gcol) % 2) == 0
+    return interior, red
 
 
 @functools.lru_cache(maxsize=None)
@@ -216,14 +221,14 @@ def _rbgs_call(n: int, r: int, c: int, h: float, dtype_name: str,
     dtype = jnp.dtype(dtype_name)
     h2 = h * h  # Python float: baked into the kernel as a literal
 
-    def compute(u, b, sigma, grow, gcol):
+    def compute(u, b, sigma, ps):
         inv_den = 1.0 / (4.0 - sigma * h2)
-        interior = _interior_mask(n, grow, gcol)
-        red = interior & (((grow + gcol) % 2) == 0)
-        black = interior & (((grow + gcol) % 2) == 1)
+        interior, red = _tile_masks(n, ps, u.shape)
+        redm = interior & red
+        blackm = interior & (~red)
         for _ in range(sweeps):
-            u = jnp.where(red, _gs_vals(u, b, inv_den, h2), u)
-            u = jnp.where(black, _gs_vals(u, b, inv_den, h2), u)
+            u = jnp.where(redm, _gs_vals(u, b, inv_den, h2), u)
+            u = jnp.where(blackm, _gs_vals(u, b, inv_den, h2), u)
         return u
 
     return _make_tiled_kernel(compute, n, r, c, dtype)
@@ -237,8 +242,8 @@ def _jacobi_call(n: int, r: int, c: int, h: float, omega: float,
     dtype = jnp.dtype(dtype_name)
     inv_h2 = 1.0 / (h * h)
 
-    def compute(u, b, sigma, grow, gcol):
-        interior = _interior_mask(n, grow, gcol)
+    def compute(u, b, sigma, ps):
+        interior, _ = _tile_masks(n, ps, u.shape)
         for _ in range(sweeps):
             res = _residual_vals(u, b, inv_h2, sigma)
             vals = u + (omega / (4.0 * inv_h2 - sigma)) * res
@@ -253,10 +258,10 @@ def _residual_call(n: int, r: int, c: int, h: float, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     inv_h2 = 1.0 / (h * h)
 
-    def compute(u, b, sigma, grow, gcol):
+    def compute(u, b, sigma, ps):
         vals = _residual_vals(u, b, inv_h2, sigma)
-        return jnp.where(_interior_mask(n, grow, gcol), vals,
-                         jnp.zeros_like(u))
+        interior, _ = _tile_masks(n, ps, u.shape)
+        return jnp.where(interior, vals, jnp.zeros_like(u))
 
     return _make_tiled_kernel(compute, n, r, c, dtype)
 
