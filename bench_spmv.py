@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--csr", action="store_true",
                     help="also bench the XLA CSR path (slow at large N)")
+    ap.add_argument("--bell", action="store_true",
+                    help="also bench the blocked-ELL MXU SpMM kernel")
+    ap.add_argument("--bell-blocks", type=int, default=64,
+                    help="block rows/cols of the synthetic BELL matrix")
+    ap.add_argument("--bell-density", type=float, default=0.15)
+    ap.add_argument("--bell-m", type=int, default=128,
+                    help="multivector width for the BELL SpMM bench")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -89,6 +96,51 @@ def main():
             f"{nnz / sec / 1e9:.1f} Gnnz/s, {gbps:.0f} GB/s "
             f"({100 * gbps / HBM_GBPS:.0f}% of HBM roofline)")
     log(line)
+
+    if args.bell:
+        import scipy.sparse as sp
+
+        from multigridcmt_tpu.kernels import bell
+
+        nbr = nbc = args.bell_blocks
+        rng = np.random.default_rng(1)
+        mask = rng.random((nbr, nbc)) < args.bell_density
+        mask[np.arange(nbr), np.arange(nbr) % nbc] = True  # no empty rows
+        blocks = {(i, j): rng.standard_normal((128, 128)).astype(np.float32)
+                  for i, j in zip(*np.nonzero(mask))}
+        a_sp = sp.bmat([[sp.csr_matrix(blocks[(i, j)])
+                         if (i, j) in blocks else None
+                         for j in range(nbc)] for i in range(nbr)],
+                       format="csr")
+        ab = bell.bell_from_scipy(a_sp)
+        m = args.bell_m
+        xt = jnp.asarray(rng.standard_normal((m, nbc * 128)),
+                         dtype=jnp.float32)
+
+        got = np.asarray(bell.spmm(ab, xt))[:, :a_sp.shape[0]]
+        want = (a_sp @ np.asarray(xt).T).T
+        errb = float(np.max(np.abs(got - want))
+                     / max(np.max(np.abs(want)), 1e-30))
+        log(f"[spmv] BELL {nbr}x{nbc} blocks, kmax={ab.kmax}, "
+            f"m={m}: max rel err vs scipy {errb:.2e}")
+        assert errb < 1e-4
+
+        @jax.jit
+        def chain_bell(ab, xt, mm):
+            def body(i, v):
+                y = bell.spmm(ab, v)
+                return y[:, :xt.shape[1]] if y.shape[1] != xt.shape[1] else y
+
+            return jnp.sum(jax.lax.fori_loop(0, mm, body, xt))
+
+        sec_b = marginal(lambda mm: float(chain_bell(ab, xt, mm)), 2, 22,
+                         args.reps)
+        flops = 2.0 * ab.n_stored * m
+        stored_bytes = 4 * (ab.n_stored + 2 * m * nbc * 128)
+        log(f"[spmv] pallas BELL SpMM: {sec_b * 1e6:.0f} us/apply, "
+            f"{flops / sec_b / 1e12:.2f} TFLOP/s dense-block, "
+            f"{ab.nnz_scalar * m / sec_b / 1e9:.1f} Gnnz*vec/s, "
+            f"{stored_bytes / sec_b / 1e9:.0f} GB/s streamed")
 
     if args.csr:
         csr = sparse.laplacian_csr(n, 2, h, dtype=jnp.float32)
