@@ -260,3 +260,83 @@ def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
             o = -off
             y = y.at[o:].add(dk[o:] * x[: n - o])
     return y
+
+
+# ---------------------------------------------------------------------------
+# Explicit transfer matrices and Galerkin coarse operators.
+#
+# The geometric hierarchy (grids.py) re-discretizes each level, which for
+# constant-coefficient Poisson with full-weighting/bilinear transfers is the
+# reference's choice (SURVEY.md §2 "Coarse-grid hierarchy" row). These
+# routines provide the *algebraic* alternative named in the same row,
+# A_c = R A P, as setup-time host computations — useful for
+# variable-coefficient or externally supplied operators, and as oracles for
+# the stencil transfer kernels (P = 2^d R^T identity, §4.1).
+# ---------------------------------------------------------------------------
+
+
+def _prolongation_scipy_1d(nc: int):
+    import scipy.sparse as sp
+
+    nf = 2 * nc + 1
+    rows, cols, vals = [], [], []
+    for j in range(nc):           # coarse interior point j ↔ fine 2j+1
+        i = 2 * j + 1
+        rows += [i, i - 1, i + 1]
+        cols += [j, j, j]
+        vals += [1.0, 0.5, 0.5]
+    return sp.csr_matrix(
+        (np.array(vals), (np.array(rows), np.array(cols))), shape=(nf, nc))
+
+
+def prolongation_csr(nc: int, ndim: int, dtype=jnp.float32) -> CSR:
+    """Linear/bilinear interpolation matrix P: (2nc+1)^d x nc^d interior
+    points (vertex-centered, Dirichlet boundaries eliminated)."""
+    import scipy.sparse as sp
+
+    p1 = _prolongation_scipy_1d(nc)
+    p = p1 if ndim == 1 else sp.kron(p1, p1, format="csr")
+    return scipy_to_csr(p, dtype)
+
+
+def restriction_csr(nc: int, ndim: int, dtype=jnp.float32) -> CSR:
+    """Full-weighting restriction matrix R = P^T / 2^d: nc^d x (2nc+1)^d."""
+    import scipy.sparse as sp
+
+    p1 = _prolongation_scipy_1d(nc)
+    p = p1 if ndim == 1 else sp.kron(p1, p1, format="csr")
+    return scipy_to_csr((p.T / 2.0 ** ndim).tocsr(), dtype)
+
+
+def scipy_to_csr(a, dtype=jnp.float32) -> CSR:
+    """Import a scipy.sparse matrix as a device CSR pytree."""
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(a)
+    a.sum_duplicates()
+    coo = a.tocoo()
+    return coo_to_csr(COO(
+        data=jnp.asarray(coo.data, dtype=dtype),
+        row=jnp.asarray(coo.row, dtype=jnp.int32),
+        col=jnp.asarray(coo.col, dtype=jnp.int32),
+        shape=a.shape))
+
+
+def galerkin_coarse(a: CSR, nc: int, ndim: int, drop_tol: float = 0.0) -> CSR:
+    """A_c = R A P with full-weighting R and (bi)linear P (host, setup-time).
+
+    For the constant-coefficient Laplacian in 1D this reproduces the
+    re-discretized coarse operator exactly; in 2D it yields the standard
+    9-point Galerkin stencil whose action the tests cross-check against
+    restrict(A(prolong(.))) composed from the stencil operators.
+    """
+    import scipy.sparse as sp
+
+    p1 = _prolongation_scipy_1d(nc)
+    p = p1 if ndim == 1 else sp.kron(p1, p1, format="csr")
+    r = (p.T / 2.0 ** ndim).tocsr()
+    ac = (r @ csr_to_scipy(a) @ p).tocsr()
+    if drop_tol > 0.0:
+        ac.data[np.abs(ac.data) < drop_tol] = 0.0
+        ac.eliminate_zeros()
+    return scipy_to_csr(ac, a.data.dtype)
