@@ -25,6 +25,8 @@ def main():
     p.add_argument("--num", type=int, default=1, help="# eigenpairs")
     p.add_argument("--method", choices=["ii", "rqi"], default="ii")
     p.add_argument("--tol", type=float, default=1e-7)
+    p.add_argument("--plot", metavar="FILE", default=None,
+                   help="write an eigenmode-gallery PNG")
     p.add_argument("--f32", action="store_true",
                    help="float32 (eigen-residual floors near ~1e-5 and the "
                         "eigenvalue carries O(1e-2) roundoff; default f64)")
@@ -40,6 +42,11 @@ def main():
     for i, lam in enumerate(lams):
         print(f"  lambda_{i + 1} = {lam:.8f}")
     print(f"  (continuum lambda_1 = 2 pi^2 = {2 * np.pi ** 2:.8f})")
+    if args.plot:
+        from multigridcmt_tpu.utils.plots import plot_eigenmodes
+        plot_eigenmodes(np.asarray(res.eigenvectors)[:, 1:-1, 1:-1],
+                        prob.config.n, 2,
+                        res.eigenvalues, args.plot)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ def main():
     p.add_argument("--k", type=int, default=8, help="grid: (2^k - 1)^2")
     p.add_argument("--levels", type=int, default=5)
     p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument("--plot", metavar="FILE", default=None,
+                   help="write a residual-history PNG (reference-style)")
     p.add_argument("--pallas", action="store_true",
                    help="route stencils through the Pallas TPU kernels")
     args = p.parse_args()
@@ -32,6 +34,11 @@ def main():
                         dtype=jnp.float32)
     assert prob.hierarchy.num_levels == args.levels
     res = mg.MultigridSolver(prob).solve()
+    if args.plot:
+        from multigridcmt_tpu.utils.plots import plot_residual_history
+        plot_residual_history(
+            {f"V(2,2) RBGS, n={prob.config.n}^2": res.res_history},
+            args.plot, title="2D Poisson V-cycle residual history")
     MetricsLogger().log_solve_result(res, prob.config)
     print(f"n={prob.config.n}^2  levels={args.levels}  "
           f"iters={int(res.iters)}  rho={float(mg.convergence_factor(res)):.4f}")
