@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..config import SolverConfig
 from ..grids import Hierarchy, interior, pad_interior
 from ..ops import laplacian, smoothers, transfer
+from ..utils import profiling
 
 
 class Backend(NamedTuple):
@@ -121,44 +122,47 @@ def v_cycle(hier: Hierarchy, x: jax.Array, b: jax.Array,
     spec = hier.levels[level]
     omega = config.effective_omega()
     if level == hier.num_levels - 1:
-        return coarse_solve(hier, b, sigma, backend=bk)
+        with profiling.level_scope(level):
+            return coarse_solve(hier, b, sigma, backend=bk)
     # Down leg: whole-leg fusion (one HBM pass) when the backend offers it,
     # else smooth + (fused or composed) residual/restrict.
-    down = None
-    if bk.smooth_residual_restrict is not None:
-        down = bk.smooth_residual_restrict(
-            x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
-            sweeps=config.nu1, sigma=sigma)
-    if down is not None:
-        x, rc = down
-    else:
-        x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother,
-                      omega=omega, sweeps=config.nu1, sigma=sigma)
-        if bk.residual_restrict is not None and laplacian._is_zero(sigma):
-            rc = bk.residual_restrict(x, b, spec.n, spec.h)
+    with profiling.level_scope(level):
+        down = None
+        if bk.smooth_residual_restrict is not None:
+            down = bk.smooth_residual_restrict(
+                x, b, spec.n, spec.h, kind=config.smoother, omega=omega,
+                sweeps=config.nu1, sigma=sigma)
+        if down is not None:
+            x, rc = down
         else:
-            r = bk.residual(x, b, spec.n, spec.h, sigma=sigma)
-            rc = bk.restrict(r, spec.n)
-    ec = jnp.zeros_like(rc)
+            x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother,
+                          omega=omega, sweeps=config.nu1, sigma=sigma)
+            if bk.residual_restrict is not None and laplacian._is_zero(sigma):
+                rc = bk.residual_restrict(x, b, spec.n, spec.h)
+            else:
+                r = bk.residual(x, b, spec.n, spec.h, sigma=sigma)
+                rc = bk.restrict(r, spec.n)
+        ec = jnp.zeros_like(rc)
     for _ in range(gamma):
         ec = v_cycle(hier, ec, rc, config, level=level + 1, sigma=sigma,
                      gamma=gamma)
     nc = hier.levels[level + 1].n
     # Up leg, symmetric.
-    up = None
-    if bk.prolong_add_smooth is not None:
-        up = bk.prolong_add_smooth(
-            x, ec, b, spec.n, nc, spec.h, kind=config.smoother, omega=omega,
-            sweeps=config.nu2, sigma=sigma)
-    if up is not None:
-        x = up
-    else:
-        if bk.prolong_add is not None:
-            x = bk.prolong_add(x, ec, spec.n, nc)
+    with profiling.level_scope(level):
+        up = None
+        if bk.prolong_add_smooth is not None:
+            up = bk.prolong_add_smooth(
+                x, ec, b, spec.n, nc, spec.h, kind=config.smoother,
+                omega=omega, sweeps=config.nu2, sigma=sigma)
+        if up is not None:
+            x = up
         else:
-            x = x + bk.prolong(ec, nc)
-        x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother,
-                      omega=omega, sweeps=config.nu2, sigma=sigma)
+            if bk.prolong_add is not None:
+                x = bk.prolong_add(x, ec, spec.n, nc)
+            else:
+                x = x + bk.prolong(ec, nc)
+            x = bk.smooth(x, b, spec.n, spec.h, kind=config.smoother,
+                          omega=omega, sweeps=config.nu2, sigma=sigma)
     return x
 
 

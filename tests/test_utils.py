@@ -64,3 +64,32 @@ def test_checkpoint_roundtrip(tmp_path):
     # cycles than a cold solve.
     cold = solver2.solve()
     assert int(resumed.iters) < int(cold.iters)
+
+
+def test_debug_checked_catches_nan():
+    import jax.numpy as jnp
+    import pytest
+    from jax.experimental import checkify
+
+    from multigridcmt_tpu.utils import debug
+
+    def bad(x):
+        y = jnp.sqrt(x)  # NaN for negative input
+        debug.check_finite(y, "y")
+        return y
+
+    safe = debug.checked(bad)
+    assert float(safe(jnp.float32(4.0))) == 2.0
+    with pytest.raises(checkify.JaxRuntimeError):
+        safe(jnp.float32(-1.0))
+
+
+def test_debug_mode_restores_flag():
+    import jax
+
+    from multigridcmt_tpu.utils import debug
+
+    before = jax.config.jax_debug_nans
+    with debug.debug_mode():
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == before
