@@ -16,5 +16,6 @@ from .grids import Hierarchy, build_hierarchy, interior, pad_interior  # noqa: F
 from .solvers.cycles import (SolveResult, convergence_factor, fmg,  # noqa: F401
                              solve, v_cycle)
 from .solvers.eigen import EigenResult, eigensolve  # noqa: F401
+from .solvers.krylov import solve_pcg  # noqa: F401
 
 __version__ = "0.1.0"

@@ -24,7 +24,7 @@ from .config import SolverConfig
 from .grids import (Hierarchy, build_hierarchy, grid_coords, interior,
                     pad_interior)
 from .ops import laplacian, sparse
-from .solvers import cycles, eigen
+from .solvers import cycles, eigen, krylov
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,8 +99,16 @@ class MultigridSolver:
         self.hierarchy = problem.hierarchy
 
     def solve(self, b: Optional[jax.Array] = None,
-              x0: Optional[jax.Array] = None) -> cycles.SolveResult:
+              x0: Optional[jax.Array] = None,
+              method: str = "mg") -> cycles.SolveResult:
+        """Solve A x = b. method="mg": stationary cycles (reference
+        semantics); method="pcg": V-cycle-preconditioned conjugate
+        gradients (solvers/krylov.py)."""
         b = self.problem.b if b is None else b
+        if method == "pcg":
+            return krylov.solve_pcg(self.hierarchy, b, self.config, x0=x0)
+        if method != "mg":
+            raise ValueError(f"unknown solve method {method!r}")
         return cycles.solve(self.hierarchy, b, self.config, x0=x0)
 
     def v_cycle(self, x: jax.Array, b: jax.Array) -> jax.Array:

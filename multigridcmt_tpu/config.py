@@ -27,7 +27,9 @@ class SolverConfig:
       dtype: compute dtype. float32 is the TPU-native default; tests use
         float64 on CPU to match the SciPy oracle bit-for-bit-ish.
       nu1, nu2: pre-/post-smoothing sweeps per V-cycle level.
-      smoother: "jacobi" (weighted Jacobi) or "rbgs" (red-black Gauss-Seidel).
+      smoother: "jacobi" (weighted Jacobi), "rbgs" (red-black Gauss-Seidel),
+        or "chebyshev" (polynomial smoother; nu1/nu2 become the polynomial
+        degree per leg — apply-only, the best fit for the sharded runtime).
       omega: Jacobi damping; None selects the textbook optimum 2/3 (1D) or
         4/5 (2D) used by the reference (SURVEY.md §2, smoother rows).
       cycle: "v", "w", or "fmg".
@@ -73,7 +75,7 @@ class SolverConfig:
             raise ValueError(f"ndim must be 1 or 2, got {self.ndim}")
         if self.k < 2:
             raise ValueError(f"k must be >= 2, got {self.k}")
-        if self.smoother not in ("jacobi", "rbgs"):
+        if self.smoother not in ("jacobi", "rbgs", "chebyshev"):
             raise ValueError(f"unknown smoother {self.smoother!r}")
         if self.cycle not in ("v", "w", "fmg"):
             raise ValueError(f"unknown cycle {self.cycle!r}")

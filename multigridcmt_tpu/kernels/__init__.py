@@ -27,6 +27,15 @@ def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
     if u.ndim != 2:
         return smoothers.smooth(u, b, h, kind=kind, omega=omega,
                                 sweeps=sweeps, sigma=sigma)
+    if kind == "chebyshev":
+        # Chebyshev = residual applies + elementwise axpys: the residual is
+        # the Pallas kernel (one HBM pass per application), the recurrence
+        # fuses in XLA. No dedicated kernel needed — or worth a Mosaic
+        # compile.
+        diag = laplacian.diag_value(2, h, sigma)
+        return smoothers.chebyshev_generic(
+            u, b, sweeps, diag,
+            lambda uu, bb: _residual(uu, bb, n, h, sigma=sigma))
     if n < PALLAS_MIN_N:
         return stencils_aligned.smooth(u, b, n, h, kind=kind, omega=omega,
                                        sweeps=sweeps, sigma=sigma)
@@ -97,7 +106,7 @@ def _smooth_residual_restrict(u, b, n, h, *, kind, omega, sweeps,
                               sigma=0.0):
     """Whole-down-leg fusion; None declines to the composed path (1D,
     small levels, or more sweeps than one kernel's halo supports)."""
-    if (u.ndim != 2 or n < PALLAS_MIN_N
+    if (u.ndim != 2 or n < PALLAS_MIN_N or kind not in ("jacobi", "rbgs")
             or sweeps > fused2d.max_down_sweeps(kind)):
         return None
     return fused2d.smooth_residual_restrict(
@@ -106,7 +115,7 @@ def _smooth_residual_restrict(u, b, n, h, *, kind, omega, sweeps,
 
 def _prolong_add_smooth(x, e, b, n, nc, h, *, kind, omega, sweeps,
                         sigma=0.0):
-    if (x.ndim != 2 or n < PALLAS_MIN_N
+    if (x.ndim != 2 or n < PALLAS_MIN_N or kind not in ("jacobi", "rbgs")
             or sweeps > fused2d.max_up_sweeps(kind)):
         return None
     return fused2d.prolong_add_smooth(

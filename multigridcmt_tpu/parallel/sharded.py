@@ -146,6 +146,15 @@ def s_rbgs(u, b, n, h, axis, ndev, sigma=0.0):
 
 
 def s_smooth(u, b, n, h, *, kind, omega, sweeps, axis, ndev, sigma=0.0):
+    if kind == "chebyshev":
+        # Apply-only smoother: the generic Chebyshev recurrence over the
+        # halo-exchanging residual — one ppermute pair per application,
+        # identical comm cost to Jacobi, RB-GS-class smoothing. No sweep-
+        # order coupling across shards, so sharded == unsharded exactly.
+        diag = (4.0 / (h * h)) - sigma
+        return smoothers.chebyshev_generic(
+            u, b, sweeps, diag,
+            lambda uu, bb: s_residual(uu, bb, n, h, axis, ndev, sigma))
     for _ in range(sweeps):
         if kind == "jacobi":
             u = s_jacobi(u, b, n, h, omega, axis, ndev, sigma)

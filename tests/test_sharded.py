@@ -50,7 +50,7 @@ def test_halo_extend_roundtrip():
 
 
 @needs_8
-@pytest.mark.parametrize("smoother", ["jacobi", "rbgs"])
+@pytest.mark.parametrize("smoother", ["jacobi", "rbgs", "chebyshev"])
 def test_sharded_solve_matches_unsharded(smoother):
     """Identical residual history and solution, sharded vs single-device.
 
