@@ -10,7 +10,7 @@ runtime with ppermute halo exchange and coarse-level agglomeration.
 """
 
 from .api import (MultigridSolver, Problem, poisson, poisson1d,  # noqa: F401
-                  poisson2d)
+                  poisson2d, poisson3d)
 from .config import SolverConfig  # noqa: F401
 from .grids import Hierarchy, build_hierarchy, interior, pad_interior  # noqa: F401
 from .solvers.cycles import (SolveResult, convergence_factor, fmg,  # noqa: F401

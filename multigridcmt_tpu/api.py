@@ -39,16 +39,21 @@ class Problem:
 
 def _default_f(ndim: int):
     """RHS whose exact solution is u = prod sin(pi x_i)."""
-    if ndim == 1:
-        return lambda x: (jnp.pi ** 2) * jnp.sin(jnp.pi * x)
-    return lambda x, y: (2.0 * jnp.pi ** 2
-                         * jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y))
+    def f(*coords):
+        out = ndim * jnp.pi ** 2
+        for c in coords:
+            out = out * jnp.sin(jnp.pi * c)
+        return out
+    return f
 
 
 def _default_u(ndim: int):
-    if ndim == 1:
-        return lambda x: jnp.sin(jnp.pi * x)
-    return lambda x, y: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+    def u(*coords):
+        out = 1.0
+        for c in coords:
+            out = out * jnp.sin(jnp.pi * c)
+        return out
+    return u
 
 
 def poisson(k: int, ndim: int,
@@ -82,6 +87,13 @@ def poisson1d(k: int, **kw) -> Problem:
 
 def poisson2d(k: int, **kw) -> Problem:
     return poisson(k, ndim=2, **kw)
+
+
+def poisson3d(k: int, **kw) -> Problem:
+    """7-point 3D Poisson on a (2^k - 1)^3 grid — capability extension
+    beyond the reference's 1D/2D (jnp compute path; Pallas kernels and the
+    sharded runtime currently cover 2D)."""
+    return poisson(k, ndim=3, **kw)
 
 
 class MultigridSolver:
@@ -119,12 +131,15 @@ class MultigridSolver:
                            self.config)
         return bk.decode(out, n)
 
-    def fmg(self, b: Optional[jax.Array] = None) -> jax.Array:
+    def fmg(self, b: Optional[jax.Array] = None,
+            n_vcycles: int = 1) -> jax.Array:
+        """O(N) full-multigrid solve; ``n_vcycles`` V-cycles per level
+        (1 suffices for 1D/2D discretization accuracy; 3D wants 2)."""
         b = self.problem.b if b is None else b
         bk = cycles.get_backend(self.config)
         n = self.hierarchy.fine.n
         return bk.decode(cycles.fmg(self.hierarchy, bk.encode(b),
-                                    self.config), n)
+                                    self.config, n_vcycles=n_vcycles), n)
 
     def eigensolve(self, k: int = 1, method: str = "ii", tol: float = 1e-8,
                    max_iters: int = 100, inner_cycles: int = 30,

@@ -19,7 +19,8 @@ class SolverConfig:
     """Static configuration for a multigrid solve.
 
     Attributes:
-      ndim: spatial dimension (1 or 2).
+      ndim: spatial dimension (1, 2, or 3; the reference covers 1/2 — 3D
+        7-point Poisson is a capability extension on the jnp path).
       k: grid exponent — the fine grid has ``n = 2**k - 1`` interior points
         per axis (vertex-centered coarsening, Dirichlet boundary points
         eliminated; matches the reference's 1023 / 255² / 1023² / 511²
@@ -71,8 +72,8 @@ class SolverConfig:
 
             if not jax.config.jax_enable_x64:
                 jax.config.update("jax_enable_x64", True)
-        if self.ndim not in (1, 2):
-            raise ValueError(f"ndim must be 1 or 2, got {self.ndim}")
+        if self.ndim not in (1, 2, 3):
+            raise ValueError(f"ndim must be 1, 2, or 3, got {self.ndim}")
         if self.k < 2:
             raise ValueError(f"k must be >= 2, got {self.k}")
         if self.smoother not in ("jacobi", "rbgs", "chebyshev"):
@@ -93,7 +94,7 @@ class SolverConfig:
     def effective_omega(self) -> float:
         if self.omega is not None:
             return self.omega
-        return 2.0 / 3.0 if self.ndim == 1 else 4.0 / 5.0
+        return (2.0 * self.ndim) / (2.0 * self.ndim + 1.0)   # 2/3, 4/5, 6/7
 
     def level_sizes(self) -> Tuple[int, ...]:
         """Interior sizes fine→coarse: 2^k-1, 2^(k-1)-1, ..., <= min_coarse."""

@@ -114,10 +114,8 @@ def pad_interior(interior: jax.Array) -> jax.Array:
 
 
 def interior(u: jax.Array) -> jax.Array:
-    """View of the interior of a padded grid array."""
-    if u.ndim == 1:
-        return u[1:-1]
-    return u[1:-1, 1:-1]
+    """View of the interior of a padded grid array (any ndim)."""
+    return u[(slice(1, -1),) * u.ndim]
 
 
 def aligned_shape(n: int) -> Tuple[int, int]:
@@ -156,9 +154,8 @@ def interior_coords_1d(n: int, dtype=jnp.float64) -> jax.Array:
 
 
 def grid_coords(n: int, ndim: int, dtype):
-    """Interior coordinates; 1D → (x,), 2D → meshgrid (X, Y), 'ij' indexing."""
+    """Interior coordinates; 1D → (x,), 2D/3D → 'ij' meshgrid tuple."""
     x = jnp.arange(1, n + 1, dtype=dtype) / (n + 1)
     if ndim == 1:
         return (x,)
-    X, Y = jnp.meshgrid(x, x, indexing="ij")
-    return (X, Y)
+    return tuple(jnp.meshgrid(*([x] * ndim), indexing="ij"))

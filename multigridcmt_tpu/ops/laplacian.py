@@ -34,8 +34,10 @@ def apply_poisson(u: jax.Array, h: float, sigma=0.0) -> jax.Array:
         y = _apply_1d(u, h)
     elif u.ndim == 2:
         y = _apply_2d(u, h)
+    elif u.ndim == 3:
+        y = _apply_3d(u, h)
     else:
-        raise ValueError(f"expected 1D/2D padded grid, got ndim={u.ndim}")
+        raise ValueError(f"expected 1D/2D/3D padded grid, got ndim={u.ndim}")
     if _is_zero(sigma):
         return y
     shift = jnp.asarray(sigma, dtype=u.dtype) * u
@@ -61,6 +63,18 @@ def _apply_2d(u: jax.Array, h: float) -> jax.Array:
     return jnp.pad(core, 1)
 
 
+def _apply_3d(u: jax.Array, h: float) -> jax.Array:
+    """7-point stencil (1/h^2)[6 center, -1 each face neighbor]."""
+    inv_h2 = jnp.asarray(1.0 / (h * h), dtype=u.dtype)
+    core = (
+        6.0 * u[1:-1, 1:-1, 1:-1]
+        - u[:-2, 1:-1, 1:-1] - u[2:, 1:-1, 1:-1]
+        - u[1:-1, :-2, 1:-1] - u[1:-1, 2:, 1:-1]
+        - u[1:-1, 1:-1, :-2] - u[1:-1, 1:-1, 2:]
+    ) * inv_h2
+    return jnp.pad(core, 1)
+
+
 def residual(u: jax.Array, b: jax.Array, h: float, sigma=0.0) -> jax.Array:
     """r = b - (A - sigma*I) u, padded in, padded out (ghosts stay zero)."""
     inv_h2 = jnp.asarray(1.0 / (h * h), dtype=u.dtype)
@@ -68,6 +82,17 @@ def residual(u: jax.Array, b: jax.Array, h: float, sigma=0.0) -> jax.Array:
         core = b[1:-1] - (2.0 * u[1:-1] - u[:-2] - u[2:]) * inv_h2
         if not _is_zero(sigma):
             core = core + jnp.asarray(sigma, dtype=u.dtype) * u[1:-1]
+        return jnp.pad(core, 1)
+    if u.ndim == 3:
+        core = b[1:-1, 1:-1, 1:-1] - (
+            6.0 * u[1:-1, 1:-1, 1:-1]
+            - u[:-2, 1:-1, 1:-1] - u[2:, 1:-1, 1:-1]
+            - u[1:-1, :-2, 1:-1] - u[1:-1, 2:, 1:-1]
+            - u[1:-1, 1:-1, :-2] - u[1:-1, 1:-1, 2:]
+        ) * inv_h2
+        if not _is_zero(sigma):
+            core = core + jnp.asarray(sigma, dtype=u.dtype) * u[1:-1, 1:-1,
+                                                                1:-1]
         return jnp.pad(core, 1)
     core = b[1:-1, 1:-1] - (
         4.0 * u[1:-1, 1:-1]
@@ -82,8 +107,8 @@ def residual(u: jax.Array, b: jax.Array, h: float, sigma=0.0) -> jax.Array:
 
 
 def diag_value(ndim: int, h: float, sigma=0.0):
-    """Diagonal entry of A - sigma*I (constant across the grid)."""
-    d = (2.0 if ndim == 1 else 4.0) / (h * h)
+    """Diagonal entry of A - sigma*I (constant across the grid): 2d/h^2."""
+    d = (2.0 * ndim) / (h * h)
     if _is_zero(sigma):
         return d
     return d - sigma
@@ -95,14 +120,20 @@ def dense_operator(n: int, ndim: int, h: float) -> np.ndarray:
     1D: tridiag(-1, 2, -1)/h^2 of size n.
     2D: 5-point Kronecker sum of size n^2 (row-major interior ordering),
     mirroring the reference's `scipy.sparse.kron` assembly (SURVEY.md §2).
+    3D: 7-point Kronecker sum of size n^3.
     """
     t = (np.diag(2.0 * np.ones(n)) - np.diag(np.ones(n - 1), 1)
          - np.diag(np.ones(n - 1), -1))
     if ndim == 1:
         return t / (h * h)
     eye = np.eye(n)
-    a2 = np.kron(t, eye) + np.kron(eye, t)
-    return a2 / (h * h)
+    if ndim == 2:
+        a2 = np.kron(t, eye) + np.kron(eye, t)
+        return a2 / (h * h)
+    eye2 = np.eye(n * n)
+    a3 = (np.kron(t, eye2) + np.kron(eye, np.kron(t, eye))
+          + np.kron(eye2, t))
+    return a3 / (h * h)
 
 
 def eigenvalue_1d(k: int, n: int, h: float) -> float:
@@ -113,3 +144,9 @@ def eigenvalue_1d(k: int, n: int, h: float) -> float:
 def eigenvalue_2d(kx: int, ky: int, n: int, h: float) -> float:
     """Exact eigenvalue of the discrete 2D operator (sum of 1D eigenvalues)."""
     return eigenvalue_1d(kx, n, h) + eigenvalue_1d(ky, n, h)
+
+
+def eigenvalue_3d(kx: int, ky: int, kz: int, n: int, h: float) -> float:
+    """Exact eigenvalue of the discrete 3D operator (sum of 1D eigenvalues)."""
+    return (eigenvalue_1d(kx, n, h) + eigenvalue_1d(ky, n, h)
+            + eigenvalue_1d(kz, n, h))

@@ -32,7 +32,8 @@ from . import laplacian
 
 
 def default_omega(ndim: int) -> float:
-    return 2.0 / 3.0 if ndim == 1 else 4.0 / 5.0
+    """Textbook-optimal Jacobi damping 2d/(2d+1): 2/3, 4/5, 6/7."""
+    return (2.0 * ndim) / (2.0 * ndim + 1.0)
 
 
 def jacobi(u: jax.Array, b: jax.Array, h: float, omega: float,
@@ -58,9 +59,10 @@ def _color_mask(shape, parity: int, row_offset: int = 0, dtype=jnp.bool_):
     if len(shape) == 1:
         idx = jax.lax.broadcasted_iota(jnp.int32, (shape[0], 1), 0)[:, 0]
         return (idx + row_offset) % 2 == parity
-    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return (rows + cols + row_offset) % 2 == parity
+    s = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_offset
+    for dim in range(1, len(shape)):
+        s = s + jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+    return s % 2 == parity
 
 
 def _gs_update(u: jax.Array, b: jax.Array, h: float, sigma=0.0) -> jax.Array:
@@ -74,6 +76,15 @@ def _gs_update(u: jax.Array, b: jax.Array, h: float, sigma=0.0) -> jax.Array:
     if u.ndim == 1:
         den = 2.0 - jnp.asarray(sigma, dtype=u.dtype) * h2
         core = (h2 * b[1:-1] + u[:-2] + u[2:]) / den
+        return jnp.pad(core, 1)
+    if u.ndim == 3:
+        den = 6.0 - jnp.asarray(sigma, dtype=u.dtype) * h2
+        core = (
+            h2 * b[1:-1, 1:-1, 1:-1]
+            + u[:-2, 1:-1, 1:-1] + u[2:, 1:-1, 1:-1]
+            + u[1:-1, :-2, 1:-1] + u[1:-1, 2:, 1:-1]
+            + u[1:-1, 1:-1, :-2] + u[1:-1, 1:-1, 2:]
+        ) / den
         return jnp.pad(core, 1)
     den = 4.0 - jnp.asarray(sigma, dtype=u.dtype) * h2
     core = (
@@ -91,10 +102,7 @@ def rbgs_half_sweep(u: jax.Array, b: jax.Array, h: float, parity: int,
     # Interior-only write: _gs_update already zeroed the ghosts of `upd`,
     # but keep u's ghosts whatever they are by masking on the interior mask.
     imask = jnp.zeros(u.shape, dtype=bool)
-    if u.ndim == 1:
-        imask = imask.at[1:-1].set(True)
-    else:
-        imask = imask.at[1:-1, 1:-1].set(True)
+    imask = imask.at[(slice(1, -1),) * u.ndim].set(True)
     return jnp.where(mask & imask, upd, u)
 
 

@@ -80,9 +80,32 @@ class COO:
         return self.data.shape[0]
 
 
+def _kron_chain(mats):
+    import scipy.sparse as sp
+
+    out = mats[0]
+    for m in mats[1:]:
+        out = sp.kron(out, m)
+    return out
+
+
 def _laplacian_coo_numpy(n: int, ndim: int, h: float):
-    """Host-side COO triplets of the 1D/2D Poisson operator (float64)."""
+    """Host-side COO triplets of the 1D/2D/3D Poisson operator (float64)."""
     inv_h2 = 1.0 / (h * h)
+    if ndim == 3:
+        # Kronecker sum in the same row-major interior ordering as
+        # laplacian.dense_operator: kron(t,I,I) + kron(I,t,I) + kron(I,I,t).
+        import scipy.sparse as sp
+
+        t = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+        eye = sp.identity(n)
+        a = sum(
+            _kron_chain([t if ax == d else eye for ax in range(3)])
+            for d in range(3)
+        )
+        a = (a * inv_h2).tocoo()
+        order = np.lexsort((a.col, a.row))
+        return (a.row[order], a.col[order], a.data[order], a.shape)
     if ndim == 1:
         rows, cols, vals = [], [], []
         idx = np.arange(n)
@@ -212,8 +235,21 @@ def laplacian_dia(n: int, ndim: int, h: float, dtype=jnp.float32) -> DIA:
 
     1D: offsets (-1, 0, 1). 2D row-major: offsets (-n, -1, 0, 1, n), with the
     +-1 diagonals zeroed at interior-row boundaries (j = 0 / j = n-1 wrap).
+    3D: offsets (-n^2, -n, -1, 0, 1, n, n^2), analogous zeroing per axis.
     """
     inv_h2 = 1.0 / (h * h)
+    if ndim == 3:
+        m = n ** 3
+        offsets = (-n * n, -n, -1, 0, 1, n, n * n)
+        d = np.full((7, m), -inv_h2)
+        d[3, :] = 6.0 * inv_h2
+        idx = np.arange(m)
+        ax = [idx // (n * n), (idx // n) % n, idx % n]   # (i, j, k)
+        for axis, (lo_row, hi_row) in enumerate(((0, 6), (1, 5), (2, 4))):
+            d[lo_row, ax[axis] == 0] = 0.0       # no neighbor below axis min
+            d[hi_row, ax[axis] == n - 1] = 0.0   # no neighbor past axis max
+        return DIA(diags=jnp.asarray(d, dtype=dtype), offsets=offsets,
+                   shape=(m, m))
     if ndim == 1:
         d = np.zeros((3, n))
         d[0, :] = -inv_h2   # offset -1: stored aligned to row index
@@ -295,7 +331,7 @@ def prolongation_csr(nc: int, ndim: int, dtype=jnp.float32) -> CSR:
     import scipy.sparse as sp
 
     p1 = _prolongation_scipy_1d(nc)
-    p = p1 if ndim == 1 else sp.kron(p1, p1, format="csr")
+    p = _kron_chain([p1] * ndim).tocsr()
     return scipy_to_csr(p, dtype)
 
 
@@ -304,7 +340,7 @@ def restriction_csr(nc: int, ndim: int, dtype=jnp.float32) -> CSR:
     import scipy.sparse as sp
 
     p1 = _prolongation_scipy_1d(nc)
-    p = p1 if ndim == 1 else sp.kron(p1, p1, format="csr")
+    p = _kron_chain([p1] * ndim).tocsr()
     return scipy_to_csr((p.T / 2.0 ** ndim).tocsr(), dtype)
 
 
@@ -333,7 +369,7 @@ def galerkin_coarse(a: CSR, nc: int, ndim: int, drop_tol: float = 0.0) -> CSR:
     import scipy.sparse as sp
 
     p1 = _prolongation_scipy_1d(nc)
-    p = p1 if ndim == 1 else sp.kron(p1, p1, format="csr")
+    p = _kron_chain([p1] * ndim).tocsr()
     r = (p.T / 2.0 ** ndim).tocsr()
     ac = (r @ csr_to_scipy(a) @ p).tocsr()
     if drop_tol > 0.0:

@@ -37,24 +37,28 @@ def _restrict_axis0_1d(f: jax.Array) -> jax.Array:
     return jnp.pad(rc, 1)
 
 
-def _restrict_rows_2d(f: jax.Array) -> jax.Array:
-    """Full-weighting along axis 0 of a padded 2D array; axis 1 untouched."""
-    core = f[1:-1, :]
-    centers = core[1::2, :]
-    edges = core[0::2, :]
-    rc = 0.25 * (edges[:-1, :] + 2.0 * centers + edges[1:, :])
-    return jnp.pad(rc, ((1, 1), (0, 0)))
+def _restrict_axis(f: jax.Array, axis: int) -> jax.Array:
+    """Full-weighting [1,2,1]/4 + coarsening along ONE axis of a padded
+    array; other axes untouched. The d-dimensional full-weighting stencil
+    is the tensor product of this 1D stencil (9-point/16 in 2D, 27-point/64
+    in 3D), so restriction is d sequential axis passes."""
+    f = jnp.moveaxis(f, axis, 0)
+    core = f[1:-1]
+    centers = core[1::2]
+    edges = core[0::2]
+    rc = 0.25 * (edges[:-1] + 2.0 * centers + edges[1:])
+    rc = jnp.pad(rc, [(1, 1)] + [(0, 0)] * (rc.ndim - 1))
+    return jnp.moveaxis(rc, 0, axis)
 
 
 def restrict(r: jax.Array) -> jax.Array:
-    """Full-weighting restriction, padded fine grid -> padded coarse grid."""
+    """Full-weighting restriction, padded fine grid -> padded coarse grid
+    (any ndim: 1D [1,2,1]/4, 2D 9-point/16, 3D 27-point/64)."""
     if r.ndim == 1:
         return _restrict_axis0_1d(r)
-    if r.ndim == 2:
-        r = _restrict_rows_2d(r)
-        r = _restrict_rows_2d(r.T).T
-        return r
-    raise ValueError(f"expected 1D/2D padded grid, got ndim={r.ndim}")
+    for ax in range(r.ndim):
+        r = _restrict_axis(r, ax)
+    return r
 
 
 def _prolong_axis0_1d(c: jax.Array) -> jax.Array:
@@ -70,25 +74,26 @@ def _prolong_axis0_1d(c: jax.Array) -> jax.Array:
     return jnp.pad(fine, 1)
 
 
-def _prolong_rows_2d(c: jax.Array) -> jax.Array:
-    """Linear interpolation along axis 0 of a padded 2D array."""
+def _prolong_axis(c: jax.Array, axis: int) -> jax.Array:
+    """Linear interpolation along ONE axis of a padded array."""
+    c = jnp.moveaxis(c, axis, 0)
     nc = c.shape[0] - 2
     n = 2 * nc + 1
     fine = jnp.zeros((n,) + c.shape[1:], dtype=c.dtype)
-    fine = fine.at[1::2, :].set(c[1:-1, :])
-    fine = fine.at[0::2, :].set(0.5 * (c[:-1, :] + c[1:, :]))
-    return jnp.pad(fine, ((1, 1), (0, 0)))
+    fine = fine.at[1::2].set(c[1:-1])
+    fine = fine.at[0::2].set(0.5 * (c[:-1] + c[1:]))
+    fine = jnp.pad(fine, [(1, 1)] + [(0, 0)] * (fine.ndim - 1))
+    return jnp.moveaxis(fine, 0, axis)
 
 
 def prolong(e: jax.Array) -> jax.Array:
-    """(Bi)linear prolongation, padded coarse grid -> padded fine grid."""
+    """(Bi/tri)linear prolongation, padded coarse grid -> padded fine grid
+    (any ndim; the transpose relation P = 2^d R^T holds per dimension)."""
     if e.ndim == 1:
         return _prolong_axis0_1d(e)
-    if e.ndim == 2:
-        e = _prolong_rows_2d(e)
-        e = _prolong_rows_2d(e.T).T
-        return e
-    raise ValueError(f"expected 1D/2D padded grid, got ndim={e.ndim}")
+    for ax in range(e.ndim):
+        e = _prolong_axis(e, ax)
+    return e
 
 
 # ---------------------------------------------------------------------------

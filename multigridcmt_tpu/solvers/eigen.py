@@ -40,7 +40,7 @@ class EigenResult(NamedTuple):
 
 def _flat(v: jax.Array, ndim: int) -> jax.Array:
     """(k, *padded) -> (k, N) interior-flattened."""
-    core = v[:, 1:-1] if ndim == 1 else v[:, 1:-1, 1:-1]
+    core = v[(slice(None),) + (slice(1, -1),) * ndim]
     return core.reshape(core.shape[0], -1)
 
 
