@@ -363,6 +363,7 @@ class ShardedSolver:
         self.hierarchy = (hierarchy if hierarchy is not None
                           else build_hierarchy(config))
         self._solve = self._build_solve()
+        self._solve_pcg = None          # built lazily on first use
 
     def _build_solve(self):
         cfg = self.config
@@ -417,10 +418,91 @@ class ShardedSolver:
         )
         return jax.jit(sharded)
 
-    def solve(self, b_padded: jax.Array) -> cycles.SolveResult:
+    def _build_pcg(self):
+        """Distributed MG-PCG (the sharded twin of solvers/krylov.py):
+        one distributed V-cycle per iteration as the preconditioner, all
+        dot products psum-ed over the mesh, flexible (Polak-Ribiere) beta
+        for the not-exactly-symmetric RB-GS cycle."""
+        cfg = self.config
+        hier = self.hierarchy
+        axis = self.axis
+        ndev = self.ndev
+        gamma = 2 if cfg.cycle == "w" else 1
+        n, h = hier.fine.n, hier.fine.h
+
+        def local_pcg(b):
+            def pdot(u, v):
+                return jax.lax.psum(jnp.sum(u * v), axis)
+
+            def apply_a(p):
+                return -s_residual(p, jnp.zeros_like(p), n, h, axis, ndev)
+
+            def precond(r):
+                return _sharded_v_cycle(hier, cfg, ndev, axis,
+                                        jnp.zeros_like(r), r, 0, gamma)
+
+            x = jnp.zeros_like(b)
+            b_norm = jnp.sqrt(pdot(b, b))
+            b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
+            r = s_residual(x, b, n, h, axis, ndev)
+            rel0 = jnp.sqrt(pdot(r, r)) / b_norm
+            z = precond(r)
+            p = z
+            rz = pdot(r, z)
+            hist0 = jnp.full((cfg.max_iters + 1,), rel0, dtype=b.dtype)
+
+            def cond(st):
+                _, _, _, _, _, k_it, _, rel, stall = st
+                return ((rel >= cfg.tol) & (k_it < cfg.max_iters)
+                        & (stall < 3))
+
+            def body(st):
+                x, r, z, p, rz, k_it, hist, rel, stall = st
+                ap = apply_a(p)
+                pap = pdot(p, ap)
+                alpha = rz / jnp.where(pap == 0, 1.0, pap)
+                x = x + alpha * p
+                r_new = r - alpha * ap
+                new_rel = jnp.sqrt(pdot(r_new, r_new)) / b_norm
+                z_new = precond(r_new)
+                rz_new = pdot(r_new, z_new)
+                beta = (rz_new - pdot(z_new, r)) / jnp.where(
+                    rz == 0, 1.0, rz)
+                p = z_new + beta * p
+                stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
+                hist = hist.at[k_it + 1].set(new_rel)
+                return x, r_new, z_new, p, rz_new, k_it + 1, hist, new_rel, \
+                    stall
+
+            x, _, _, _, _, iters, hist, rel, _ = jax.lax.while_loop(
+                cond, body, (x, r, z, p, rz, 0, hist0, rel0, 0))
+            idx = jnp.arange(cfg.max_iters + 1)
+            hist = jnp.where(idx <= iters, hist, rel)
+            return x, iters, hist, rel < cfg.tol
+
+        from jax import shard_map
+
+        sharded = shard_map(
+            local_pcg, mesh=self.mesh,
+            in_specs=P(self.axis, None),
+            out_specs=(P(self.axis, None), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def solve(self, b_padded: jax.Array,
+              method: str = "mg") -> cycles.SolveResult:
+        if method == "pcg":
+            if self._solve_pcg is None:
+                self._solve_pcg = self._build_pcg()
+            fn = self._solve_pcg
+        elif method == "mg":
+            fn = self._solve
+        else:
+            raise ValueError(f"unknown solve method {method!r}")
         b_sh = shard_rhs(jnp.asarray(b_padded, dtype=self.config.dtype),
                          self.mesh, self.axis)
-        x, iters, hist, conv = self._solve(b_sh)
+        x, iters, hist, conv = fn(b_sh)
         return cycles.SolveResult(
             x=jnp.asarray(unshard(x)), iters=iters, res_history=hist,
             converged=conv)

@@ -169,3 +169,28 @@ def test_sharded_eigensolve_matches_unsharded(method, kk):
                     for i, j in ij])
     np.testing.assert_allclose(np.sort(np.asarray(got.eigenvalues)), want,
                                rtol=1e-9)
+
+
+@needs_8
+@pytest.mark.parametrize("smoother", ["rbgs", "chebyshev"])
+def test_sharded_pcg_matches_unsharded(smoother):
+    """Distributed MG-PCG == single-device MG-PCG: same iteration count,
+    same residual history, same solution (psum dots are exact reductions
+    of the whole-array dots)."""
+    from multigridcmt_tpu.solvers import krylov
+
+    cfg = SolverConfig(ndim=2, k=6, dtype=jnp.float64, smoother=smoother,
+                       tol=1e-9, agglom_rows=8)
+    prob = mg.poisson2d(k=6, dtype=jnp.float64, smoother=smoother, tol=1e-9)
+    ref = krylov.solve_pcg(prob.hierarchy, prob.b, cfg)
+
+    s = sharded.ShardedSolver(cfg, _mesh())
+    got = s.solve(prob.b, method="pcg")
+
+    assert bool(got.converged)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.res_history),
+                               np.asarray(ref.res_history),
+                               rtol=1e-6, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
