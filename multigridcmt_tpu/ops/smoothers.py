@@ -148,6 +148,10 @@ def chebyshev_generic(u, b, degree: int, diag, residual_fn,
     with theta = (lmax+lmin)/2, delta = (lmax-lmin)/2, sigma1 = theta/delta,
     rho_0 = 1/sigma1, rho_k = 1/(2 sigma1 - rho_{k-1}).
     """
+    if degree <= 0:
+        # A degree-0 polynomial is the identity: no smoothing. Without this,
+        # sweeps=0 would still apply the first (pre-loop) Jacobi-like step.
+        return u
     lmin = lmax * lmin_frac
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)

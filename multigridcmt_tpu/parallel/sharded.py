@@ -2,14 +2,15 @@
 
 This is the build-side L7 runtime of SURVEY.md §1/§3.5 (the reference is
 single-process SciPy — BASELINE.json:5 frames all distribution as build
-work): the 2D grid is row-partitioned over a 1D device mesh, every stencil
-op exchanges a one-row halo with its mesh neighbors via
-``jax.lax.ppermute``, and once a level's local tile gets too small to
-amortize latency the level is *agglomerated* — all-gathered and computed
-replicated on every device (BASELINE.md config 5: "halo ppermute +
-coarse-level agglomeration").
+work): the grid is partitioned along its first axis (rows in 2D, planes in
+3D) over a 1D device mesh, every stencil op exchanges a one-row halo with
+its mesh neighbors via ``jax.lax.ppermute``, and once a level's local tile
+gets too small to amortize latency the level is *agglomerated* —
+all-gathered and computed replicated on every device (BASELINE.md config 5:
+"halo ppermute + coarse-level agglomeration").
 
-Partitioning invariants (vertex-centered 2^k - 1 grids):
+Partitioning invariants (vertex-centered 2^k - 1 grids; "row" below means
+a slab of the first axis — a (n+2,) line in 2D, a (n+2, n+2) plane in 3D):
 
 * The padded fine grid has 2^k + 1 rows: ghost row 0, interior 1..n, ghost
   n+1. Rows 1..2^k (interior plus the bottom ghost) are sharded: with D
@@ -33,8 +34,11 @@ Multi-host note: the same code runs unchanged on a multi-host mesh built
 from ``jax.distributed.initialize`` + all processes' devices; ppermute
 rides ICI within a slice and DCN across slices (SURVEY.md §5).
 
-Local tiles are *owned-rows only* (m, n+2); each op builds its (m+2, n+2)
-halo-extended view on the fly.
+Local tiles are *owned-rows only*: (m, n+2) in 2D, (m, n+2, n+2) in 3D;
+each op builds its halo-extended (m+2, ...) view on the fly. All trailing
+axes keep the full padded extent — only the first axis is ever sharded,
+so the trailing-axis parts of the transfer stencils reuse the
+single-device separable passes from ``ops/transfer.py``.
 """
 from __future__ import annotations
 
@@ -121,7 +125,7 @@ def s_residual(u, b, n, h, axis, ndev, sigma=0.0):
 def s_jacobi(u, b, n, h, omega, axis, ndev, sigma=0.0):
     m, c = u.shape
     r = s_residual(u, b, n, h, axis, ndev, sigma)
-    d = (4.0 / (h * h)) - sigma
+    d = laplacian.diag_value(2, h, sigma)
     return u + (omega / d) * r
 
 
@@ -151,7 +155,7 @@ def s_smooth(u, b, n, h, *, kind, omega, sweeps, axis, ndev, sigma=0.0):
         # halo-exchanging residual — one ppermute pair per application,
         # identical comm cost to Jacobi, RB-GS-class smoothing. No sweep-
         # order coupling across shards, so sharded == unsharded exactly.
-        diag = (4.0 / (h * h)) - sigma
+        diag = laplacian.diag_value(2, h, sigma)
         return smoothers.chebyshev_generic(
             u, b, sweeps, diag,
             lambda uu, bb: s_residual(uu, bb, n, h, axis, ndev, sigma))
@@ -430,6 +434,8 @@ class ShardedSolver:
         gamma = 2 if cfg.cycle == "w" else 1
         n, h = hier.fine.n, hier.fine.h
 
+        from ..solvers.krylov import cg_loop
+
         def local_pcg(b):
             def pdot(u, v):
                 return jax.lax.psum(jnp.sum(u * v), axis)
@@ -441,43 +447,11 @@ class ShardedSolver:
                 return _sharded_v_cycle(hier, cfg, ndev, axis,
                                         jnp.zeros_like(r), r, 0, gamma)
 
-            x = jnp.zeros_like(b)
-            b_norm = jnp.sqrt(pdot(b, b))
-            b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
-            r = s_residual(x, b, n, h, axis, ndev)
-            rel0 = jnp.sqrt(pdot(r, r)) / b_norm
-            z = precond(r)
-            p = z
-            rz = pdot(r, z)
-            hist0 = jnp.full((cfg.max_iters + 1,), rel0, dtype=b.dtype)
-
-            def cond(st):
-                _, _, _, _, _, k_it, _, rel, stall = st
-                return ((rel >= cfg.tol) & (k_it < cfg.max_iters)
-                        & (stall < 3))
-
-            def body(st):
-                x, r, z, p, rz, k_it, hist, rel, stall = st
-                ap = apply_a(p)
-                pap = pdot(p, ap)
-                alpha = rz / jnp.where(pap == 0, 1.0, pap)
-                x = x + alpha * p
-                r_new = r - alpha * ap
-                new_rel = jnp.sqrt(pdot(r_new, r_new)) / b_norm
-                z_new = precond(r_new)
-                rz_new = pdot(r_new, z_new)
-                beta = (rz_new - pdot(z_new, r)) / jnp.where(
-                    rz == 0, 1.0, rz)
-                p = z_new + beta * p
-                stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
-                hist = hist.at[k_it + 1].set(new_rel)
-                return x, r_new, z_new, p, rz_new, k_it + 1, hist, new_rel, \
-                    stall
-
-            x, _, _, _, _, iters, hist, rel, _ = jax.lax.while_loop(
-                cond, body, (x, r, z, p, rz, 0, hist0, rel0, 0))
-            idx = jnp.arange(cfg.max_iters + 1)
-            hist = jnp.where(idx <= iters, hist, rel)
+            x, iters, hist, rel = cg_loop(
+                jnp.zeros_like(b), b, dot=pdot, apply_a=apply_a,
+                precond=precond,
+                residual=lambda xx, bb: s_residual(xx, bb, n, h, axis, ndev),
+                tol=cfg.tol, max_iters=cfg.max_iters)
             return x, iters, hist, rel < cfg.tol
 
         from jax import shard_map

@@ -41,6 +41,62 @@ def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b)
 
 
+def cg_loop(x, b, *, dot, apply_a, precond, residual, tol, max_iters):
+    """Flexible (Polak-Ribiere) preconditioned-CG iteration driver.
+
+    The single source of the CG recurrence, shared by the single-device
+    solver below and the distributed solver (``parallel.sharded``) — the
+    two differ only in their primitives, which come in as callables:
+
+      dot(a, b)      inner product (plain ``jnp.sum`` or mesh ``psum``)
+      apply_a(p)     operator apply in the caller's native layout
+      precond(r)     one V-cycle from a zero guess
+      residual(x, b) r = b - A x (a fused kernel where available — cheaper
+                     than ``b - apply_a(x)``)
+
+    Runs entirely inside one ``lax.while_loop`` with the same stall guard
+    as ``cycles.solve`` (exit after 3 non-improving iterations at the
+    dtype's roundoff floor). Returns ``(x, iters, hist, rel)`` where
+    ``hist`` has static length ``max_iters + 1``, entries past ``iters``
+    backfilled with the final relative residual.
+    """
+    b_norm = jnp.sqrt(dot(b, b))
+    b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
+
+    r = residual(x, b)
+    rel0 = jnp.sqrt(dot(r, r)) / b_norm
+    z = precond(r)
+    p = z
+    rz = dot(r, z)
+    hist0 = jnp.full((max_iters + 1,), rel0, dtype=b.dtype)
+
+    def cond(state):
+        x, r, z, p, rz, k, hist, rel, stall = state
+        return (rel >= tol) & (k < max_iters) & (stall < 3)
+
+    def body(state):
+        x, r, z, p, rz, k, hist, rel, stall = state
+        ap = apply_a(p)
+        pap = dot(p, ap)
+        alpha = rz / jnp.where(pap == 0, 1.0, pap)
+        x = x + alpha * p
+        r_new = r - alpha * ap
+        new_rel = jnp.sqrt(dot(r_new, r_new)) / b_norm
+        z_new = precond(r_new)
+        rz_new = dot(r_new, z_new)
+        beta = (rz_new - dot(z_new, r)) / jnp.where(rz == 0, 1.0, rz)
+        p = z_new + beta * p
+        stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
+        hist = hist.at[k + 1].set(new_rel)
+        return x, r_new, z_new, p, rz_new, k + 1, hist, new_rel, stall
+
+    x, r, z, p, rz, iters, hist, rel, _ = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, 0, hist0, rel0, 0))
+    idx = jnp.arange(max_iters + 1)
+    hist = jnp.where(idx <= iters, hist, rel)
+    return x, iters, hist, rel
+
+
 @partial(jax.jit, static_argnames=("config",))
 def solve_pcg(hier: Hierarchy, b: jax.Array, config: SolverConfig,
               x0: jax.Array | None = None) -> cycles.SolveResult:
@@ -65,41 +121,9 @@ def solve_pcg(hier: Hierarchy, b: jax.Array, config: SolverConfig,
     def precond(r):
         return cycles.cycle(hier, jnp.zeros_like(r), r, config)
 
-    b_norm = jnp.sqrt(_dot(b, b))
-    b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
-
-    r = bk.residual(x, b, n, h)
-    rel0 = jnp.sqrt(_dot(r, r)) / b_norm
-    z = precond(r)
-    p = z
-    rz = _dot(r, z)
-    hist0 = jnp.full((config.max_iters + 1,), rel0, dtype=b.dtype)
-
-    # Stall guard mirrors cycles.solve: at the dtype's roundoff floor the
-    # recurrence stops improving; exit instead of spinning to max_iters.
-    def cond(state):
-        x, r, z, p, rz, k, hist, rel, stall = state
-        return (rel >= config.tol) & (k < config.max_iters) & (stall < 3)
-
-    def body(state):
-        x, r, z, p, rz, k, hist, rel, stall = state
-        ap = apply_a(p)
-        pap = _dot(p, ap)
-        alpha = rz / jnp.where(pap == 0, 1.0, pap)
-        x = x + alpha * p
-        r_new = r - alpha * ap
-        new_rel = jnp.sqrt(_dot(r_new, r_new)) / b_norm
-        z_new = precond(r_new)
-        rz_new = _dot(r_new, z_new)
-        beta = (rz_new - _dot(z_new, r)) / jnp.where(rz == 0, 1.0, rz)
-        p = z_new + beta * p
-        stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
-        hist = hist.at[k + 1].set(new_rel)
-        return x, r_new, z_new, p, rz_new, k + 1, hist, new_rel, stall
-
-    x, r, z, p, rz, iters, hist, rel, _ = jax.lax.while_loop(
-        cond, body, (x, r, z, p, rz, 0, hist0, rel0, 0))
-    idx = jnp.arange(config.max_iters + 1)
-    hist = jnp.where(idx <= iters, hist, rel)
+    x, iters, hist, rel = cg_loop(
+        x, b, dot=_dot, apply_a=apply_a, precond=precond,
+        residual=lambda xx, bb: bk.residual(xx, bb, n, h),
+        tol=config.tol, max_iters=config.max_iters)
     return cycles.SolveResult(x=bk.decode(x, n), iters=iters,
                               res_history=hist, converged=rel < config.tol)

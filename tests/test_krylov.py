@@ -59,7 +59,8 @@ def test_pcg_residual_history_monotone_tail():
     res = mg.solve_pcg(prob.hierarchy, prob.b, prob.config)
     hist = np.asarray(res.res_history)
     it = int(res.iters)
-    assert hist[0] == 1.0 or hist[0] > 0
+    # Zero initial guess => r0 = b => relative residual exactly 1.
+    assert np.isclose(hist[0], 1.0)
     assert hist[it] < 1e-9
     np.testing.assert_array_equal(hist[it:], hist[it])
 

@@ -204,3 +204,16 @@ def test_chebyshev_pallas_backend_matches_jnp():
     got = from_aligned(got_a, n)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_chebyshev_degree_zero_is_identity():
+    """sweeps=0 must be a no-op for every smoother kind (ADVICE r1: the
+    chebyshev recurrence used to apply one step before its degree loop)."""
+    n = 31
+    h = 1.0 / (n + 1)
+    rng = np.random.default_rng(3)
+    u = _pad(np.asarray(rng.standard_normal((n, n))))
+    b = _pad(np.asarray(rng.standard_normal((n, n))))
+    for kind in ("jacobi", "rbgs", "chebyshev"):
+        out = smoothers.smooth(u, b, h, kind=kind, omega=0.8, sweeps=0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(u))
