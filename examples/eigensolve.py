@@ -23,7 +23,10 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--k", type=int, default=9, help="grid: (2^k - 1)^2")
     p.add_argument("--num", type=int, default=1, help="# eigenpairs")
-    p.add_argument("--method", choices=["ii", "rqi"], default="ii")
+    p.add_argument("--method", choices=["ii", "rqi", "lobpcg"], default="ii",
+                   help="ii/rqi: (shifted) inverse iteration (reference "
+                        "parity); lobpcg: MG-preconditioned LOBPCG (one "
+                        "V-cycle per vector per step — fastest)")
     p.add_argument("--tol", type=float, default=1e-7)
     p.add_argument("--plot", metavar="FILE", default=None,
                    help="write an eigenmode-gallery PNG")

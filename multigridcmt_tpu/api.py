@@ -91,8 +91,8 @@ def poisson2d(k: int, **kw) -> Problem:
 
 def poisson3d(k: int, **kw) -> Problem:
     """7-point 3D Poisson on a (2^k - 1)^3 grid — capability extension
-    beyond the reference's 1D/2D (jnp compute path; Pallas kernels and the
-    sharded runtime currently cover 2D)."""
+    beyond the reference's 1D/2D (jnp compute path; the sharded runtime
+    covers 3D via slab/pencil decompositions, Pallas kernels cover 2D)."""
     return poisson(k, ndim=3, **kw)
 
 
@@ -144,6 +144,13 @@ class MultigridSolver:
     def eigensolve(self, k: int = 1, method: str = "ii", tol: float = 1e-8,
                    max_iters: int = 100, inner_cycles: int = 30,
                    inner_tol: float | None = None) -> eigen.EigenResult:
+        """k smallest eigenpairs. method="ii" (block inverse iteration,
+        reference parity), "rqi" (Rayleigh-quotient shifts), or "lobpcg"
+        (MG-preconditioned LOBPCG — one V-cycle per vector per step
+        instead of a full inner solve; the fastest of the three)."""
+        if method == "lobpcg":
+            return eigen.lobpcg(self.hierarchy, self.config, k=k, tol=tol,
+                                max_iters=max_iters)
         return eigen.eigensolve(self.hierarchy, self.config, k=k,
                                 method=method, tol=tol, max_iters=max_iters,
                                 inner_cycles=inner_cycles,

@@ -1,50 +1,64 @@
-"""Distributed multigrid: shard_map row partitioning with ppermute halos.
+"""Distributed multigrid: shard_map domain decomposition with ppermute halos.
 
 This is the build-side L7 runtime of SURVEY.md §1/§3.5 (the reference is
 single-process SciPy — BASELINE.json:5 frames all distribution as build
-work): the grid is partitioned along its first axis (rows in 2D, planes in
-3D) over a 1D device mesh, every stencil op exchanges a one-row halo with
-its mesh neighbors via ``jax.lax.ppermute``, and once a level's local tile
-gets too small to amortize latency the level is *agglomerated* —
-all-gathered and computed replicated on every device (BASELINE.md config 5:
-"halo ppermute + coarse-level agglomeration").
+work). The grid is partitioned over a device mesh — **any prefix of the
+array axes may be sharded over a mesh axis**, giving every decomposition
+SURVEY.md §2 names ("per-level row/block partitioning"):
 
-Partitioning invariants (vertex-centered 2^k - 1 grids; "row" below means
-a slab of the first axis — a (n+2,) line in 2D, a (n+2, n+2) plane in 3D):
+* 1D mesh over axis 0 → *row* partitioning in 2D, *plane* (slab) in 3D;
+* 2D mesh over axes 0 and 1 → *block* partitioning in 2D, *pencil* in 3D.
 
-* The padded fine grid has 2^k + 1 rows: ghost row 0, interior 1..n, ghost
-  n+1. Rows 1..2^k (interior plus the bottom ghost) are sharded: with D
-  (a power of two <= 2^(k-1)) devices, device d owns m = 2^k / D rows,
-  global rows d*m+1 .. (d+1)*m. The bottom ghost lands on the last device
-  as a "dead row" that masks keep zero; the top ghost row 0 is never
-  stored — it reappears as device 0's all-zero halo (ppermute edge
-  semantics: non-receiving devices get zeros — exactly the homogeneous
-  Dirichlet boundary).
+Block/pencil decompositions halve the halo surface-to-volume ratio versus
+rows at the same device count, which is what carries weak scaling to large
+meshes (SURVEY.md §6). Every stencil op exchanges a one-cell halo with its
+mesh neighbors along each sharded axis via ``jax.lax.ppermute``; once a
+level's local tile gets too small to amortize latency the level is
+*agglomerated* — all-gathered over every mesh axis and computed replicated
+on all devices (BASELINE.md config 5: "halo ppermute + coarse-level
+agglomeration").
 
-* Coarsening halves m per level (coarse row j sits at fine row 2j), so the
-  same ownership formula holds on every sharded level and restriction
-  needs only the bottom halo, prolongation only the top halo.
+Partitioning invariants (vertex-centered 2^k - 1 grids), per sharded axis:
+
+* The padded fine grid has 2^k + 1 entries along the axis: ghost 0,
+  interior 1..n, ghost n+1. Entries 1..2^k (interior plus the far ghost)
+  are sharded: with D (a power of two <= 2^(k-1)) devices along the axis,
+  device d owns m = 2^k / D entries, global entries d*m+1 .. (d+1)*m. The
+  far ghost lands on the last device as a "dead" entry that masks keep
+  zero; the near ghost 0 is never stored — it reappears as device 0's
+  all-zero halo (ppermute edge semantics: non-receiving devices get
+  zeros — exactly the homogeneous Dirichlet boundary).
+
+* Coarsening halves m per level (coarse point j sits at fine point 2j), so
+  the same ownership formula holds on every sharded level; restriction
+  needs only the far halo, prolongation only the near halo.
+
+* Halo extension is applied **sequentially per sharded axis**, which fills
+  the corner ghosts with the correct diagonal-neighbor values for free
+  (the second axis' ppermute carries the first axis' halo along) — so a
+  halo-extended tile is locally indistinguishable from a padded grid and
+  the separable 9/27-point transfer stencils need no extra corner comm.
 
 * Red-black Gauss-Seidel re-exchanges halos between the two half-sweeps
-  (the updated red halo row feeds the black sweep) — this is what keeps
-  the distributed sweep *exactly* equal to the single-device sweep
+  (the updated red halo feeds the black sweep) — this is what keeps the
+  distributed sweep *exactly* equal to the single-device sweep
   (SURVEY.md §7 hard part #1), which the tests assert to fp tolerance.
 
 Multi-host note: the same code runs unchanged on a multi-host mesh built
 from ``jax.distributed.initialize`` + all processes' devices; ppermute
 rides ICI within a slice and DCN across slices (SURVEY.md §5).
 
-Local tiles are *owned-rows only*: (m, n+2) in 2D, (m, n+2, n+2) in 3D;
-each op builds its halo-extended (m+2, ...) view on the fly. All trailing
-axes keep the full padded extent — only the first axis is ever sharded,
-so the trailing-axis parts of the transfer stencils reuse the
+Local tiles are *owned-entries only* along sharded axes and full padded
+extent along unsharded axes — e.g. (m, n+2) for 2D rows, (m0, m1) for 2D
+blocks, (m, n+2, n+2) for 3D slabs. Each op builds its halo-extended view
+on the fly; unsharded-axis parts of the transfer stencils reuse the
 single-device separable passes from ``ops/transfer.py``.
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,10 +72,69 @@ from ..solvers import cycles
 
 
 def make_mesh(devices=None, axis: str = "row") -> Mesh:
-    """1D device mesh for row partitioning (SURVEY.md §3.5)."""
+    """1D device mesh: row (2D) / slab (3D) partitioning (SURVEY.md §3.5)."""
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_block_mesh(shape: Tuple[int, int], devices=None,
+                    axes: Tuple[str, str] = ("row", "col")) -> Mesh:
+    """2D device mesh: block (2D) / pencil (3D) partitioning.
+
+    ``shape = (D_row, D_col)`` splits array axis 0 over ``axes[0]`` and
+    axis 1 over ``axes[1]``. On a real TPU slice, lay the mesh out so both
+    axes ride ICI (jax.experimental.mesh_utils.create_device_mesh does this
+    automatically on actual pods).
+    """
+    if devices is None:
+        devices = jax.devices()
+    nd = int(np.prod(shape))
+    return Mesh(np.asarray(devices[:nd]).reshape(shape), axes)
+
+
+@dataclasses.dataclass(frozen=True)
+class Decomp:
+    """Which array axes are sharded over which mesh axes.
+
+    ``axes`` maps array axis -> (mesh axis name, devices along it); array
+    axes are always a prefix 0..len(axes)-1 (leading axes sharded first).
+    ``ndim`` is the grid dimensionality.
+    """
+
+    ndim: int
+    axes: Tuple[Tuple[int, str, int], ...]
+
+    @property
+    def mesh_axes(self) -> Tuple[str, ...]:
+        return tuple(ma for _, ma, _ in self.axes)
+
+    def info(self, arr_axis: int) -> Optional[Tuple[str, int]]:
+        for a, ma, nd in self.axes:
+            if a == arr_axis:
+                return ma, nd
+        return None
+
+    def spec(self, leading_none: int = 0) -> P:
+        """PartitionSpec for a grid array (optionally with leading batch
+        axes that stay replicated)."""
+        entries = [None] * leading_none
+        for a in range(self.ndim):
+            i = self.info(a)
+            entries.append(i[0] if i is not None else None)
+        return P(*entries)
+
+
+def decomp_from_mesh(mesh: Mesh, ndim: int) -> Decomp:
+    """Shard the leading array axes over the mesh axes, in order."""
+    names = mesh.axis_names
+    if len(names) > ndim:
+        raise ValueError(f"mesh has {len(names)} axes but the grid only "
+                         f"{ndim} — at most one mesh axis per grid axis")
+    sizes = mesh.devices.shape
+    return Decomp(ndim=ndim,
+                  axes=tuple((a, names[a], int(sizes[a]))
+                             for a in range(len(names))))
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +142,7 @@ def make_mesh(devices=None, axis: str = "row") -> Mesh:
 # ---------------------------------------------------------------------------
 
 def _perm_down(d: int):
-    """src -> src+1 (deliver my last row as my lower neighbor's top halo)."""
+    """src -> src+1 (deliver my last entry as my next neighbor's near halo)."""
     return [(i, i + 1) for i in range(d - 1)]
 
 
@@ -77,144 +150,213 @@ def _perm_up(d: int):
     return [(i + 1, i) for i in range(d - 1)]
 
 
-def halo_extend(u: jax.Array, axis: str, ndev: int) -> jax.Array:
-    """(m, c) owned tile -> (m+2, c) with neighbor halo rows.
+def _halo_extend_axis(u: jax.Array, arr_axis: int, mesh_axis: str,
+                      ndev: int) -> jax.Array:
+    """Extend one array axis by its neighbors' edge slabs: m -> m+2.
 
-    Edge devices receive zeros — the Dirichlet ghost rows — for free from
+    Edge devices receive zeros — the Dirichlet ghosts — for free from
     ppermute's no-source semantics.
     """
-    top = jax.lax.ppermute(u[-1:, :], axis, _perm_down(ndev))
-    bot = jax.lax.ppermute(u[:1, :], axis, _perm_up(ndev))
-    return jnp.concatenate([top, u, bot], axis=0)
+    v = jnp.moveaxis(u, arr_axis, 0)
+    near = jax.lax.ppermute(v[-1:], mesh_axis, _perm_down(ndev))
+    far = jax.lax.ppermute(v[:1], mesh_axis, _perm_up(ndev))
+    v = jnp.concatenate([near, v, far], axis=0)
+    return jnp.moveaxis(v, 0, arr_axis)
 
 
-def _row_gids(m: int, c: int, axis: str):
-    """Global padded row index of each owned row: d*m + 1 + i."""
-    d = jax.lax.axis_index(axis)
-    return (d * m + 1
-            + jax.lax.broadcasted_iota(jnp.int32, (m, c), 0))
+def halo_extend(u: jax.Array, axis: str, ndev: int) -> jax.Array:
+    """(m, ...) owned tile -> (m+2, ...) with neighbor halos on axis 0."""
+    return _halo_extend_axis(u, 0, axis, ndev)
 
 
-def _interior_mask(n: int, m: int, c: int, axis: str):
-    g = _row_gids(m, c, axis)
-    col = jax.lax.broadcasted_iota(jnp.int32, (m, c), 1)
-    return (g <= n) & (col >= 1) & (col <= n)
-
-
-def _stencil_sum(ext: jax.Array) -> jax.Array:
-    """Sum of 4 neighbors at each owned row of the extended tile."""
-    return (ext[:-2, 1:-1] + ext[2:, 1:-1]
-            + ext[1:-1, :-2] + ext[1:-1, 2:])
-
-
-def _pad_cols(core: jax.Array) -> jax.Array:
-    return jnp.pad(core, ((0, 0), (1, 1)))
-
-
-def s_residual(u, b, n, h, axis, ndev, sigma=0.0):
-    """r = b - (A - sigma I) u on owned tiles."""
-    m, c = u.shape
-    ext = halo_extend(u, axis, ndev)
-    inv_h2 = 1.0 / (h * h)
-    au = (4.0 * ext[1:-1, 1:-1] - _stencil_sum(ext)) * inv_h2
-    r = b[:, 1:-1] - au + sigma * u[:, 1:-1]
-    return jnp.where(_interior_mask(n, m, c, axis), _pad_cols(r),
-                     jnp.zeros_like(u))
-
-
-def s_jacobi(u, b, n, h, omega, axis, ndev, sigma=0.0):
-    m, c = u.shape
-    r = s_residual(u, b, n, h, axis, ndev, sigma)
-    d = laplacian.diag_value(2, h, sigma)
-    return u + (omega / d) * r
-
-
-def s_rbgs(u, b, n, h, axis, ndev, sigma=0.0):
-    """One full RB-GS sweep == the single-device sweep, exactly.
-
-    Halos are re-exchanged between the red and black half-sweeps so black
-    updates see red-updated neighbor rows across shard boundaries.
-    """
-    m, c = u.shape
-    h2 = h * h
-    gids = _row_gids(m, c, axis)
-    col = jax.lax.broadcasted_iota(jnp.int32, (m, c), 1)
-    imask = _interior_mask(n, m, c, axis)
-    for parity in (0, 1):
-        ext = halo_extend(u, axis, ndev)
-        den = 4.0 - sigma * h2
-        vals = _pad_cols((h2 * b[:, 1:-1] + _stencil_sum(ext)) / den)
-        mask = imask & (((gids + col) % 2) == parity)
-        u = jnp.where(mask, vals, u)
+def halo_extend_all(u: jax.Array, decomp: Decomp) -> jax.Array:
+    """Extend every sharded axis. Sequential extension carries the earlier
+    axes' halos along, so corner ghosts hold the true diagonal-neighbor
+    values and the result is locally a padded grid."""
+    for a, ma, nd in decomp.axes:
+        u = _halo_extend_axis(u, a, ma, nd)
     return u
 
 
-def s_smooth(u, b, n, h, *, kind, omega, sweeps, axis, ndev, sigma=0.0):
+def _core(x: jax.Array) -> jax.Array:
+    """Slice 1:-1 along every axis."""
+    return x[(slice(1, -1),) * x.ndim]
+
+
+def _neighbor_sum(ext: jax.Array) -> jax.Array:
+    """Sum of the 2*ndim face neighbors at every core point of a (locally)
+    padded tile."""
+    nd = ext.ndim
+    out = None
+    for a in range(nd):
+        lo = tuple(slice(0, -2) if i == a else slice(1, -1)
+                   for i in range(nd))
+        hi = tuple(slice(2, None) if i == a else slice(1, -1)
+                   for i in range(nd))
+        t = ext[lo] + ext[hi]
+        out = t if out is None else out + t
+    return out
+
+
+def _slice_unsharded(x: jax.Array, decomp: Decomp) -> jax.Array:
+    """Take the interior 1:-1 along unsharded (padded) axes only."""
+    idx = tuple(slice(None) if decomp.info(a) is not None else slice(1, -1)
+                for a in range(x.ndim))
+    return x[idx]
+
+
+def _pad_unsharded(x: jax.Array, decomp: Decomp) -> jax.Array:
+    """Re-add the zero ghost ring along unsharded axes only."""
+    pads = [(0, 0) if decomp.info(a) is not None else (1, 1)
+            for a in range(x.ndim)]
+    return jnp.pad(x, pads)
+
+
+def _global_ids(shape, decomp: Decomp, arr_axis: int) -> jax.Array:
+    """Global padded-grid index of every local entry along one axis.
+
+    Sharded axis: d*m + 1 + i (the near ghost 0 is never stored).
+    Unsharded axis: the local index itself (0 = ghost .. n+1 = ghost).
+    """
+    ids = jax.lax.broadcasted_iota(jnp.int32, shape, arr_axis)
+    info = decomp.info(arr_axis)
+    if info is not None:
+        ma, _ = info
+        ids = ids + jax.lax.axis_index(ma) * shape[arr_axis] + 1
+    return ids
+
+
+def _interior_mask(n: int, shape, decomp: Decomp) -> jax.Array:
+    mask = None
+    for a in range(len(shape)):
+        ids = _global_ids(shape, decomp, a)
+        if decomp.info(a) is not None:
+            cond = ids <= n          # ids >= 1 always on sharded axes
+        else:
+            cond = (ids >= 1) & (ids <= n)
+        mask = cond if mask is None else mask & cond
+    return mask
+
+
+def _coord_sum(shape, decomp: Decomp) -> jax.Array:
+    """Sum of global coordinates — the red/black color of each point."""
+    s = None
+    for a in range(len(shape)):
+        ids = _global_ids(shape, decomp, a)
+        s = ids if s is None else s + ids
+    return s
+
+
+def s_residual(u, b, n, h, decomp: Decomp, sigma=0.0):
+    """r = b - (A - sigma I) u on owned tiles (one halo exchange per axis)."""
+    ext = halo_extend_all(u, decomp)
+    ctr = _core(ext)
+    inv_h2 = 1.0 / (h * h)
+    au = (2.0 * decomp.ndim * ctr - _neighbor_sum(ext)) * inv_h2
+    r = _slice_unsharded(b, decomp) - au + sigma * ctr
+    return jnp.where(_interior_mask(n, u.shape, decomp),
+                     _pad_unsharded(r, decomp), jnp.zeros_like(u))
+
+
+def s_jacobi(u, b, n, h, omega, decomp: Decomp, sigma=0.0):
+    r = s_residual(u, b, n, h, decomp, sigma)
+    d = laplacian.diag_value(decomp.ndim, h, sigma)
+    return u + (omega / d) * r
+
+
+def s_rbgs(u, b, n, h, decomp: Decomp, sigma=0.0):
+    """One full RB-GS sweep == the single-device sweep, exactly.
+
+    Halos are re-exchanged between the red and black half-sweeps so black
+    updates see red-updated neighbor cells across shard boundaries.
+    """
+    h2 = h * h
+    den = 2.0 * decomp.ndim - sigma * h2
+    colors = _coord_sum(u.shape, decomp) % 2
+    imask = _interior_mask(n, u.shape, decomp)
+    bcore = _slice_unsharded(b, decomp)
+    for parity in (0, 1):
+        ext = halo_extend_all(u, decomp)
+        vals = _pad_unsharded((h2 * bcore + _neighbor_sum(ext)) / den,
+                              decomp)
+        u = jnp.where(imask & (colors == parity), vals, u)
+    return u
+
+
+def s_smooth(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp, sigma=0.0):
     if kind == "chebyshev":
         # Apply-only smoother: the generic Chebyshev recurrence over the
-        # halo-exchanging residual — one ppermute pair per application,
+        # halo-exchanging residual — one ppermute round per application,
         # identical comm cost to Jacobi, RB-GS-class smoothing. No sweep-
         # order coupling across shards, so sharded == unsharded exactly.
-        diag = laplacian.diag_value(2, h, sigma)
+        diag = laplacian.diag_value(decomp.ndim, h, sigma)
         return smoothers.chebyshev_generic(
             u, b, sweeps, diag,
-            lambda uu, bb: s_residual(uu, bb, n, h, axis, ndev, sigma))
+            lambda uu, bb: s_residual(uu, bb, n, h, decomp, sigma))
     for _ in range(sweeps):
         if kind == "jacobi":
-            u = s_jacobi(u, b, n, h, omega, axis, ndev, sigma)
+            u = s_jacobi(u, b, n, h, omega, decomp, sigma)
         elif kind == "rbgs":
-            u = s_rbgs(u, b, n, h, axis, ndev, sigma)
+            u = s_rbgs(u, b, n, h, decomp, sigma)
         else:
             raise ValueError(f"unknown smoother {kind!r}")
     return u
 
 
-def s_restrict(r, n, axis, ndev):
-    """Full-weighting to the coarse owned tile (mc = m/2 rows).
+def s_restrict(r, n, decomp: Decomp):
+    """Full-weighting to the coarse owned tile — d separable axis passes.
 
-    Coarse owned row q (global jc = d*mc + 1 + q) reads fine extended rows
-    2q+1, 2q+2, 2q+3 — i.e. only the bottom halo.
+    Sharded axis (owned entries, m -> m/2): coarse owned entry q (global
+    jc = d*mc + 1 + q) reads fine extended entries 2q+1, 2q+2, 2q+3 —
+    i.e. only the far halo. Unsharded axes reuse the single-device pass.
     """
-    m, c = r.shape
-    mc = m // 2
     nc = (n - 1) // 2
-    ext = halo_extend(r, axis, ndev)       # rows 0..m+1
-    rows = 0.25 * (ext[1:m:2, :] + 2.0 * ext[2:m + 1:2, :]
-                   + ext[3:m + 2:2, :])    # (mc, c)
-    core = 0.25 * (rows[:, 1:n:2] + 2.0 * rows[:, 2:n + 1:2]
-                   + rows[:, 3:n + 2:2])   # (mc, nc)
-    out = _pad_cols(core)                  # (mc, nc+2)
-    mask = _interior_mask(nc, mc, nc + 2, axis)
-    return jnp.where(mask, out, jnp.zeros_like(out))
+    for a in range(r.ndim):
+        info = decomp.info(a)
+        if info is None:
+            r = transfer._restrict_axis(r, a)
+        else:
+            ma, nd = info
+            v = jnp.moveaxis(r, a, 0)
+            m = v.shape[0]
+            ext = _halo_extend_axis(v, 0, ma, nd)     # entries 0..m+1
+            v = 0.25 * (ext[1:m:2] + 2.0 * ext[2:m + 1:2]
+                        + ext[3:m + 2:2])             # (m/2, ...)
+            r = jnp.moveaxis(v, 0, a)
+    mask = _interior_mask(nc, r.shape, decomp)
+    return jnp.where(mask, r, jnp.zeros_like(r))
 
 
-def s_prolong(e, nc, axis, ndev):
-    """Bilinear interpolation to the fine owned tile (m = 2*mc rows).
+def s_prolong(e, nc, decomp: Decomp):
+    """(Bi/tri)linear interpolation to the fine owned tile — d separable
+    axis passes.
 
-    Fine owned row i (global f = d*m + 1 + i): even f -> coarse row f/2
-    (extended index (i+1)/2), odd f -> average of its two coarse
-    neighbors — i.e. only the top halo.
+    Sharded axis (mc -> 2*mc owned entries): fine owned entry i (global
+    f = d*m + 1 + i): even f -> coarse entry f/2 (extended index (i+1)/2),
+    odd f -> average of its two coarse neighbors — i.e. only the near halo.
     """
-    mc, cc = e.shape
-    m = 2 * mc
     n = 2 * nc + 1
-    ext = halo_extend(e, axis, ndev)       # rows 0..mc+1
-    # Column interpolation first (width nc+2 -> n+2), on the extended tile.
-    cols = jnp.zeros((mc + 2, n + 2), dtype=e.dtype)
-    cols = cols.at[:, 2:n + 1:2].set(ext[:, 1:-1])
-    cols = cols.at[:, 1:n + 2:2].set(0.5 * (ext[:, :-1] + ext[:, 1:]))
-    # Row interpolation: interleave averaged (odd f) and copied (even f).
-    odd_f = 0.5 * (cols[0:mc, :] + cols[1:mc + 1, :])   # fine i = 0, 2, ...
-    even_f = cols[1:mc + 1, :]                          # fine i = 1, 3, ...
-    out = jnp.zeros((m, n + 2), dtype=e.dtype)
-    out = out.at[0::2, :].set(odd_f)
-    out = out.at[1::2, :].set(even_f)
-    mask = _interior_mask(n, m, n + 2, axis)
-    return jnp.where(mask, out, jnp.zeros_like(out))
+    for a in range(e.ndim):
+        info = decomp.info(a)
+        if info is None:
+            e = transfer._prolong_axis(e, a)
+        else:
+            ma, nd = info
+            v = jnp.moveaxis(e, a, 0)
+            mc = v.shape[0]
+            ext = _halo_extend_axis(v, 0, ma, nd)     # entries 0..mc+1
+            odd_f = 0.5 * (ext[0:mc] + ext[1:mc + 1])  # fine i = 0, 2, ...
+            even_f = ext[1:mc + 1]                     # fine i = 1, 3, ...
+            out = jnp.zeros((2 * mc,) + v.shape[1:], dtype=e.dtype)
+            out = out.at[0::2].set(odd_f)
+            out = out.at[1::2].set(even_f)
+            e = jnp.moveaxis(out, 0, a)
+    mask = _interior_mask(n, e.shape, decomp)
+    return jnp.where(mask, e, jnp.zeros_like(e))
 
 
-def _psum_sq(x, axis):
-    return jax.lax.psum(jnp.sum(x * x), axis)
+def _psum_sq(x, decomp: Decomp):
+    return jax.lax.psum(jnp.sum(x * x), decomp.mesh_axes)
 
 
 # ---------------------------------------------------------------------------
@@ -223,31 +365,38 @@ def _psum_sq(x, axis):
 # ---------------------------------------------------------------------------
 
 def _level_rows(k: int, level: int) -> int:
-    """Sharded row count (interior + bottom ghost) at a level: 2^(k-level)."""
+    """Sharded entry count (interior + far ghost) at a level: 2^(k-level)."""
     return 2 ** (k - level)
 
 
-def _is_sharded(cfg: SolverConfig, ndev: int, level: int) -> bool:
-    m = _level_rows(cfg.k, level) // ndev
-    return (_level_rows(cfg.k, level) % ndev == 0) and m >= max(
-        cfg.agglom_rows, 2)
+def _is_sharded(cfg: SolverConfig, decomp: Decomp, level: int) -> bool:
+    rows = _level_rows(cfg.k, level)
+    for _, _, nd in decomp.axes:
+        if rows % nd != 0 or rows // nd < max(cfg.agglom_rows, 2):
+            return False
+    return True
 
 
-def _gather_full(u_local, n, axis):
+def _gather_full(u_local, decomp: Decomp):
     """Owned tiles -> replicated full padded grid (the agglomeration step)."""
-    rows = jax.lax.all_gather(u_local, axis, tiled=True)   # (n+1, n+2)
-    return jnp.pad(rows, ((1, 0), (0, 0)))                  # add ghost row 0
+    for a, ma, _ in decomp.axes:
+        u_local = jax.lax.all_gather(u_local, ma, axis=a, tiled=True)
+    pads = [(1, 0) if decomp.info(a) is not None else (0, 0)
+            for a in range(u_local.ndim)]
+    return jnp.pad(u_local, pads)       # re-add the near ghosts
 
 
-def _scatter_local(full, m, axis):
-    """Replicated full padded grid -> my owned rows."""
-    d = jax.lax.axis_index(axis)
-    return jax.lax.dynamic_slice_in_dim(full, d * m + 1, m, axis=0)
+def _scatter_local(full, decomp: Decomp):
+    """Replicated full padded grid -> my owned tile."""
+    for a, ma, nd in decomp.axes:
+        m = (full.shape[a] - 1) // nd
+        d = jax.lax.axis_index(ma)
+        full = jax.lax.dynamic_slice_in_dim(full, d * m + 1, m, axis=a)
+    return full
 
 
-def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, ndev: int,
-                     axis: str, x, b, level: int, gamma: int = 1,
-                     sigma=0.0):
+def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
+                     x, b, level: int, gamma: int = 1, sigma=0.0):
     """Recursive cycle; per-level arrays are owned tiles while the level is
     sharded and full replicated grids below the agglomeration cutoff.
     ``sigma`` shifts the operator to A - sigma*I (eigensolver inner
@@ -255,38 +404,37 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, ndev: int,
     spec = hier.levels[level]
     n, h = spec.n, spec.h
     omega = cfg.effective_omega()
-    if not _is_sharded(cfg, ndev, level):
+    if not _is_sharded(cfg, decomp, level):
         # Replicated region: identical unsharded cycle on every device.
         return cycles.v_cycle(hier, x, b, cfg, level=level, gamma=gamma,
                               sigma=sigma)
     x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
-                 sweeps=cfg.nu1, axis=axis, ndev=ndev, sigma=sigma)
-    r = s_residual(x, b, n, h, axis, ndev, sigma)
-    rc = s_restrict(r, n, axis, ndev)
+                 sweeps=cfg.nu1, decomp=decomp, sigma=sigma)
+    r = s_residual(x, b, n, h, decomp, sigma)
+    rc = s_restrict(r, n, decomp)
     nc = hier.levels[level + 1].n
-    if not _is_sharded(cfg, ndev, level + 1):
+    if not _is_sharded(cfg, decomp, level + 1):
         # Agglomerate: gather the coarse RHS, recurse replicated, scatter.
-        rc_full = _gather_full(rc, nc, axis)
+        rc_full = _gather_full(rc, decomp)
         ec_full = jnp.zeros_like(rc_full)
         for _ in range(gamma):
             ec_full = cycles.v_cycle(hier, ec_full, rc_full, cfg,
                                      level=level + 1, gamma=gamma,
                                      sigma=sigma)
         ef_full = transfer.prolong(ec_full)
-        mloc = _level_rows(cfg.k, level) // ndev
-        x = x + _scatter_local(ef_full, mloc, axis)
+        x = x + _scatter_local(ef_full, decomp)
     else:
         ec = jnp.zeros_like(rc)
         for _ in range(gamma):
-            ec = _sharded_v_cycle(hier, cfg, ndev, axis, ec, rc,
+            ec = _sharded_v_cycle(hier, cfg, decomp, ec, rc,
                                   level + 1, gamma, sigma)
-        x = x + s_prolong(ec, nc, axis, ndev)
+        x = x + s_prolong(ec, nc, decomp)
     x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
-                 sweeps=cfg.nu2, axis=axis, ndev=ndev, sigma=sigma)
+                 sweeps=cfg.nu2, decomp=decomp, sigma=sigma)
     return x
 
 
-def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, ndev: int, axis: str,
+def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
                  b, gamma: int = 1, n_vcycles: int = 1):
     """Distributed full multigrid (SURVEY.md §3.2 on the §3.5 runtime).
 
@@ -298,11 +446,11 @@ def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, ndev: int, axis: str,
     """
     bs = [b]
     for lev in range(hier.num_levels - 1):
-        if _is_sharded(cfg, ndev, lev):
-            if _is_sharded(cfg, ndev, lev + 1):
-                bs.append(s_restrict(bs[-1], hier.levels[lev].n, axis, ndev))
+        if _is_sharded(cfg, decomp, lev):
+            if _is_sharded(cfg, decomp, lev + 1):
+                bs.append(s_restrict(bs[-1], hier.levels[lev].n, decomp))
             else:  # crossing the agglomeration cutoff
-                full = _gather_full(bs[-1], hier.levels[lev].n, axis)
+                full = _gather_full(bs[-1], decomp)
                 bs.append(transfer.restrict(full))
         else:
             bs.append(transfer.restrict(bs[-1]))
@@ -310,17 +458,16 @@ def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, ndev: int, axis: str,
     # tiny levels fail _is_sharded).
     x = cycles.coarse_solve(hier, bs[-1], backend=cycles.JNP_BACKEND)
     for level in range(hier.num_levels - 2, -1, -1):
-        if _is_sharded(cfg, ndev, level):
-            if _is_sharded(cfg, ndev, level + 1):
-                x = s_prolong(x, hier.levels[level + 1].n, axis, ndev)
+        if _is_sharded(cfg, decomp, level):
+            if _is_sharded(cfg, decomp, level + 1):
+                x = s_prolong(x, hier.levels[level + 1].n, decomp)
             else:  # re-entering the sharded region
                 xf_full = transfer.prolong(x)
-                mloc = _level_rows(cfg.k, level) // ndev
-                x = _scatter_local(xf_full, mloc, axis)
+                x = _scatter_local(xf_full, decomp)
         else:
             x = transfer.prolong(x)
         for _ in range(n_vcycles):
-            x = _sharded_v_cycle(hier, cfg, ndev, axis, x, bs[level],
+            x = _sharded_v_cycle(hier, cfg, decomp, x, bs[level],
                                  level, gamma)
     return x
 
@@ -329,41 +476,56 @@ def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, ndev: int, axis: str,
 # Host-side driver
 # ---------------------------------------------------------------------------
 
-def shard_rhs(b_padded: jax.Array, mesh: Mesh, axis: str = "row"):
-    """Global padded RHS (n+2, n+2) -> device-sharded owned rows (n+1, n+2).
+def shard_rhs(b_padded: jax.Array, mesh: Mesh,
+              decomp: Optional[Decomp] = None):
+    """Global padded RHS -> device-sharded owned tiles.
 
-    Row 0 (top ghost) is dropped; rows 1..n+1 are laid out contiguously
-    over the mesh so each device holds its m = (n+1)/D owned rows.
+    Along each sharded axis the near ghost (index 0) is dropped; entries
+    1..n+1 are laid out contiguously over the mesh so each device holds
+    its m owned entries. Unsharded axes keep the full padded extent.
     """
-    rows = b_padded[1:, :]
-    return jax.device_put(rows, NamedSharding(mesh, P(axis, None)))
+    if decomp is None:
+        decomp = decomp_from_mesh(mesh, b_padded.ndim)
+    sl = tuple(slice(1, None) if decomp.info(a) is not None else slice(None)
+               for a in range(b_padded.ndim))
+    return jax.device_put(b_padded[sl], NamedSharding(mesh, decomp.spec()))
 
 
-def unshard(x_rows: jax.Array) -> jax.Array:
-    """Sharded owned rows (n+1, n+2) -> global padded (n+2, n+2)."""
-    return jnp.pad(jax.device_get(x_rows), ((1, 0), (0, 0)))
+def unshard(x_tiles: jax.Array, decomp: Optional[Decomp] = None):
+    """Sharded owned tiles -> global padded array (re-adds near ghosts)."""
+    x = jax.device_get(x_tiles)
+    if decomp is None:         # legacy row layout: first axis sharded
+        pads = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
+    else:
+        pads = [(1, 0) if decomp.info(a) is not None else (0, 0)
+                for a in range(x.ndim)]
+    return jnp.pad(x, pads)
 
 
 class ShardedSolver:
-    """Distributed MultigridSolver: row-partitioned V-cycles to tolerance.
+    """Distributed MultigridSolver: domain-decomposed V-cycles to tolerance.
 
-    >>> mesh = make_mesh()
+    The decomposition follows the mesh: a 1D mesh shards axis 0 (rows /
+    slabs), a 2D mesh shards axes 0 and 1 (blocks / pencils).
+
+    >>> mesh = make_mesh()                       # rows
     >>> s = ShardedSolver(SolverConfig(ndim=2, k=12, smoother="rbgs"), mesh)
-    >>> result = s.solve(b_padded)         # b as a plain (n+2, n+2) array
+    >>> result = s.solve(b_padded)               # b as a plain padded array
+
+    >>> mesh = make_block_mesh((4, 2))           # 4x2 blocks
+    >>> s = ShardedSolver(SolverConfig(ndim=2, k=12, smoother="rbgs"), mesh)
     """
 
     def __init__(self, config: SolverConfig, mesh: Mesh,
                  hierarchy: Optional[Hierarchy] = None):
-        if config.ndim != 2:
-            raise ValueError("the sharded path is 2D (row partitioning); "
-                             "1D problems fit on one chip by definition")
         self.config = config
         self.mesh = mesh
-        self.axis = config.mesh_axis
+        self.decomp = decomp_from_mesh(mesh, config.ndim)
         self.ndev = int(np.prod(mesh.devices.shape))
-        if (2 ** config.k) % self.ndev != 0:
-            raise ValueError(f"2^k must be divisible by the mesh size "
-                             f"({self.ndev})")
+        for _, ma, nd in self.decomp.axes:
+            if (2 ** config.k) % nd != 0:
+                raise ValueError(f"2^k must be divisible by the mesh size "
+                                 f"along {ma!r} ({nd})")
         self.hierarchy = (hierarchy if hierarchy is not None
                           else build_hierarchy(config))
         self._solve = self._build_solve()
@@ -372,22 +534,21 @@ class ShardedSolver:
     def _build_solve(self):
         cfg = self.config
         hier = self.hierarchy
-        axis = self.axis
-        ndev = self.ndev
+        decomp = self.decomp
         gamma = 2 if cfg.cycle == "w" else 1
 
         def local_solve(b):
             if cfg.cycle == "fmg":
                 # FMG is a direct method (cycles.solve semantics): run it
                 # once, then polish with V-cycles if tol asks for more.
-                x = _sharded_fmg(hier, cfg, ndev, axis, b)
+                x = _sharded_fmg(hier, cfg, decomp, b)
             else:
                 x = jnp.zeros_like(b)
             n, h = hier.fine.n, hier.fine.h
-            b_norm = jnp.sqrt(_psum_sq(b, axis))
+            b_norm = jnp.sqrt(_psum_sq(b, decomp))
             b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
             r0 = jnp.sqrt(_psum_sq(
-                s_residual(x, b, n, h, axis, ndev), axis)) / b_norm
+                s_residual(x, b, n, h, decomp), decomp)) / b_norm
             hist0 = jnp.full((cfg.max_iters + 1,), r0, dtype=b.dtype)
 
             # Stall guard, as in cycles.solve: exit after 3 non-improving
@@ -399,9 +560,9 @@ class ShardedSolver:
 
             def body(st):
                 x, k_it, hist, rel, stall = st
-                x = _sharded_v_cycle(hier, cfg, ndev, axis, x, b, 0, gamma)
+                x = _sharded_v_cycle(hier, cfg, decomp, x, b, 0, gamma)
                 new_rel = jnp.sqrt(_psum_sq(
-                    s_residual(x, b, n, h, axis, ndev), axis)) / b_norm
+                    s_residual(x, b, n, h, decomp), decomp)) / b_norm
                 stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
                 hist = hist.at[k_it + 1].set(new_rel)
                 return x, k_it + 1, hist, new_rel, stall
@@ -416,8 +577,8 @@ class ShardedSolver:
 
         sharded = shard_map(
             local_solve, mesh=self.mesh,
-            in_specs=P(self.axis, None),
-            out_specs=(P(self.axis, None), P(), P(), P()),
+            in_specs=decomp.spec(),
+            out_specs=(decomp.spec(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(sharded)
@@ -429,8 +590,7 @@ class ShardedSolver:
         for the not-exactly-symmetric RB-GS cycle."""
         cfg = self.config
         hier = self.hierarchy
-        axis = self.axis
-        ndev = self.ndev
+        decomp = self.decomp
         gamma = 2 if cfg.cycle == "w" else 1
         n, h = hier.fine.n, hier.fine.h
 
@@ -438,19 +598,19 @@ class ShardedSolver:
 
         def local_pcg(b):
             def pdot(u, v):
-                return jax.lax.psum(jnp.sum(u * v), axis)
+                return jax.lax.psum(jnp.sum(u * v), decomp.mesh_axes)
 
             def apply_a(p):
-                return -s_residual(p, jnp.zeros_like(p), n, h, axis, ndev)
+                return -s_residual(p, jnp.zeros_like(p), n, h, decomp)
 
             def precond(r):
-                return _sharded_v_cycle(hier, cfg, ndev, axis,
+                return _sharded_v_cycle(hier, cfg, decomp,
                                         jnp.zeros_like(r), r, 0, gamma)
 
             x, iters, hist, rel = cg_loop(
                 jnp.zeros_like(b), b, dot=pdot, apply_a=apply_a,
                 precond=precond,
-                residual=lambda xx, bb: s_residual(xx, bb, n, h, axis, ndev),
+                residual=lambda xx, bb: s_residual(xx, bb, n, h, decomp),
                 tol=cfg.tol, max_iters=cfg.max_iters)
             return x, iters, hist, rel < cfg.tol
 
@@ -458,8 +618,8 @@ class ShardedSolver:
 
         sharded = shard_map(
             local_pcg, mesh=self.mesh,
-            in_specs=P(self.axis, None),
-            out_specs=(P(self.axis, None), P(), P(), P()),
+            in_specs=decomp.spec(),
+            out_specs=(decomp.spec(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(sharded)
@@ -475,11 +635,11 @@ class ShardedSolver:
         else:
             raise ValueError(f"unknown solve method {method!r}")
         b_sh = shard_rhs(jnp.asarray(b_padded, dtype=self.config.dtype),
-                         self.mesh, self.axis)
+                         self.mesh, self.decomp)
         x, iters, hist, conv = fn(b_sh)
         return cycles.SolveResult(
-            x=jnp.asarray(unshard(x)), iters=iters, res_history=hist,
-            converged=conv)
+            x=jnp.asarray(unshard(x, self.decomp)), iters=iters,
+            res_history=hist, converged=conv)
 
     def eigensolve(self, k: int = 1, method: str = "ii", tol: float = 1e-8,
                    max_iters: int = 100, inner_cycles: int = 30,
@@ -492,28 +652,31 @@ class ShardedSolver:
         inner solves done by distributed V-cycles, Rayleigh-Ritz per
         outer step — with every inner product ``psum``-ed over the mesh
         (BASELINE.json:5 "psum for ... Rayleigh quotients"). Eigenvector
-        tiles stay row-partitioned end-to-end.
+        tiles stay domain-partitioned end-to-end.
         """
         from ..solvers import eigen as seigen
 
+        if method == "lobpcg":
+            return self._eigensolve_lobpcg(k=k, tol=tol,
+                                           max_iters=max_iters)
         if method not in ("ii", "rqi"):
             raise ValueError(f"unknown eigensolver method {method!r}")
-        cfg, hier, axis, ndev = (self.config, self.hierarchy, self.axis,
-                                 self.ndev)
+        cfg, hier, decomp = self.config, self.hierarchy, self.decomp
+        mesh_axes = decomp.mesh_axes
         n, h = hier.fine.n, hier.fine.h
         dtype = cfg.dtype
         if inner_tol is None:
             inner_tol = 200.0 * float(jnp.finfo(dtype).eps)
 
         def apply_local(u):
-            """A u on owned tiles (one halo exchange)."""
-            return -s_residual(u, jnp.zeros_like(u), n, h, axis, ndev)
+            """A u on owned tiles (one halo exchange round)."""
+            return -s_residual(u, jnp.zeros_like(u), n, h, decomp)
 
         def psum_dots(f, g):
             """(k, k) Gram-type matrix of flattened local tiles."""
             return jax.lax.psum(
                 jnp.einsum("iX,jX->ij", f, g,
-                           preferred_element_type=dtype), axis)
+                           preferred_element_type=dtype), mesh_axes)
 
         def flat(v):
             return v.reshape(v.shape[0], -1)
@@ -521,17 +684,17 @@ class ShardedSolver:
         def rayleigh(v):
             av = jax.vmap(apply_local)(v)
             fv, fav = flat(v), flat(av)
-            num = jax.lax.psum(jnp.sum(fv * fav, axis=1), axis)
-            den = jax.lax.psum(jnp.sum(fv * fv, axis=1), axis)
+            num = jax.lax.psum(jnp.sum(fv * fav, axis=1), mesh_axes)
+            den = jax.lax.psum(jnp.sum(fv * fv, axis=1), mesh_axes)
             lam = num / den
             rr = fav - lam[:, None] * fv
             res = jnp.sqrt(jax.lax.psum(jnp.sum(rr * rr, axis=1),
-                                        axis)) / jnp.abs(lam)
+                                        mesh_axes)) / jnp.abs(lam)
             return lam, jnp.max(res)
 
         def inner_solve(v, sigma):
             def one(rhs, sg):
-                rn = jnp.sqrt(jax.lax.psum(jnp.sum(rhs * rhs), axis))
+                rn = jnp.sqrt(jax.lax.psum(jnp.sum(rhs * rhs), mesh_axes))
                 rn = jnp.where(rn == 0, 1.0, rn)
 
                 def cond(st):
@@ -540,11 +703,11 @@ class ShardedSolver:
 
                 def body(st):
                     w, i, rel = st
-                    w = _sharded_v_cycle(hier, cfg, ndev, axis, w, rhs, 0,
+                    w = _sharded_v_cycle(hier, cfg, decomp, w, rhs, 0,
                                          sigma=sg)
-                    r = s_residual(w, rhs, n, h, axis, ndev, sg)
+                    r = s_residual(w, rhs, n, h, decomp, sg)
                     rel = jnp.sqrt(jax.lax.psum(jnp.sum(r * r),
-                                                axis)) / rn
+                                                mesh_axes)) / rn
                     return w, i + 1, rel
 
                 w, _, _ = jax.lax.while_loop(
@@ -561,8 +724,9 @@ class ShardedSolver:
             wildly different magnitudes (1/|lambda - sigma| growth), and
             an unequilibrated Gram matrix wrecks the Cholesky."""
             nrm0 = jnp.sqrt(jax.lax.psum(
-                jnp.sum(flat(w) * flat(w), axis=1), axis))
-            w = w / jnp.where(nrm0 == 0, 1.0, nrm0)[:, None, None]
+                jnp.sum(flat(w) * flat(w), axis=1), mesh_axes))
+            scale = jnp.where(nrm0 == 0, 1.0, nrm0)
+            w = w / scale.reshape((k,) + (1,) * (w.ndim - 1))
             f = flat(w)
             aw = flat(jax.vmap(apply_local)(w))
             g = psum_dots(f, f)
@@ -577,7 +741,8 @@ class ShardedSolver:
             f2 = rot @ f
             # Normalize rows (Ritz vectors of a symmetric pencil come out
             # G-orthonormal, i.e. already unit — this guards roundoff).
-            nrm = jnp.sqrt(jax.lax.psum(jnp.sum(f2 * f2, axis=1), axis))
+            nrm = jnp.sqrt(jax.lax.psum(jnp.sum(f2 * f2, axis=1),
+                                        mesh_axes))
             f2 = f2 / nrm[:, None]
             return f2.reshape(w.shape), lam
 
@@ -617,36 +782,201 @@ class ShardedSolver:
 
         fn = jax.jit(shard_map(
             local_eigen, mesh=self.mesh,
-            in_specs=P(None, self.axis, None),
-            out_specs=(P(None, self.axis, None), P(), P(), P(), P()),
+            in_specs=decomp.spec(leading_none=1),
+            out_specs=(decomp.spec(leading_none=1), P(), P(), P(), P()),
             check_vma=False,
         ))
 
         # Nested-iteration start (replicated, host-side setup as in the
-        # single-device path), sharded into row tiles.
-        v0 = seigen.coarse_init(self.hierarchy, k, dtype)   # (k, n+2, n+2)
-        v0_rows = jnp.asarray(v0)[:, 1:, :]
+        # single-device path), sharded into owned tiles.
+        v0 = seigen.coarse_init(self.hierarchy, k, dtype)   # (k, *padded)
+        sl = (slice(None),) + tuple(
+            slice(1, None) if decomp.info(a) is not None else slice(None)
+            for a in range(cfg.ndim))
         v0_sh = jax.device_put(
-            v0_rows, NamedSharding(self.mesh, P(None, self.axis, None)))
+            jnp.asarray(v0)[sl],
+            NamedSharding(self.mesh, decomp.spec(leading_none=1)))
         v, lam, iters, hist, conv = fn(v0_sh)
-        v_full = np.pad(np.asarray(jax.device_get(v)),
-                        ((0, 0), (1, 0), (0, 0)))
+        pads = [(0, 0)] + [(1, 0) if decomp.info(a) is not None else (0, 0)
+                           for a in range(cfg.ndim)]
+        v_full = np.pad(np.asarray(jax.device_get(v)), pads)
+        return seigen.EigenResult(
+            eigenvalues=lam, eigenvectors=jnp.asarray(v_full), iters=iters,
+            res_history=hist, converged=conv)
+
+    def _eigensolve_lobpcg(self, k: int, tol: float, max_iters: int,
+                           precond_cycles: int = 1):
+        """Distributed MG-preconditioned LOBPCG (the sharded twin of
+        solvers/eigen.lobpcg): Rayleigh-Ritz on span{X, T R, P} with T one
+        distributed V-cycle, every Gram matrix psum-ed over the mesh, the
+        tiny (3k)^2 eigenproblem solved replicated on every device.
+        """
+        from ..solvers import eigen as seigen
+
+        cfg, hier, decomp = self.config, self.hierarchy, self.decomp
+        mesh_axes = decomp.mesh_axes
+        n, h = hier.fine.n, hier.fine.h
+        dtype = cfg.dtype
+        lam_shape = (k,) + (1,) * cfg.ndim
+
+        def apply_local(u):
+            return -s_residual(u, jnp.zeros_like(u), n, h, decomp)
+
+        def flat(v):
+            return v.reshape(v.shape[0], -1)
+
+        def gram(f, g):
+            return jax.lax.psum(
+                jnp.einsum("iX,jX->ij", flat(f), flat(g),
+                           preferred_element_type=dtype), mesh_axes)
+
+        def rownorms(v):
+            return jnp.sqrt(jax.lax.psum(
+                jnp.sum(flat(v) * flat(v), axis=1), mesh_axes))
+
+        def rq_res(v):
+            """Rayleigh quotients + residual tiles of an orthonormal
+            block."""
+            av = jax.vmap(apply_local)(v)
+            lam = jax.lax.psum(jnp.sum(flat(v) * flat(av), axis=1),
+                               mesh_axes)
+            r = av - lam.reshape(lam_shape) * v
+            res = rownorms(r) / jnp.abs(lam)
+            return lam, r, jnp.max(res)
+
+        def tcycle(r):
+            def one(rhs):
+                w = jnp.zeros_like(rhs)
+                for _ in range(precond_cycles):
+                    w = _sharded_v_cycle(hier, cfg, decomp, w, rhs, 0)
+                return w
+
+            return jax.vmap(one)(r)
+
+        def project_out(f, basis):
+            for _ in range(2):
+                f = f - jnp.einsum("ij,j...->i...", gram(f, basis), basis)
+            return f
+
+        def safe_rownorm(v, salt):
+            """Normalize rows over the mesh; replace dead rows by a
+            deterministic global pseudo-random interior field (identical
+            on every device by construction from global coordinates)."""
+            nrm = rownorms(v)
+            eps = jnp.finfo(dtype).eps
+            gsum = _coord_sum(v.shape[1:], decomp).astype(dtype)
+            rows = jnp.arange(k, dtype=dtype).reshape(lam_shape)
+            imask = _interior_mask(n, v.shape[1:], decomp)
+            fb = jnp.sin((salt + 1.0) * (rows + 1.0)
+                         + 0.7391 * gsum) * imask.astype(dtype)
+            fb = fb / rownorms(fb).reshape(lam_shape)
+            good = (nrm > eps * eps).reshape(lam_shape)
+            return jnp.where(good, v / jnp.where(
+                good, nrm.reshape(lam_shape), 1.0), fb)
+
+        def rr(s, nkeep):
+            m = s.shape[0]
+            g = gram(s, s)
+            hm = gram(s, jax.vmap(apply_local)(s))
+            hm = 0.5 * (hm + hm.T)
+            eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+            jit_g = g + (100.0 * eps * jnp.trace(g)) * jnp.eye(m,
+                                                               dtype=dtype)
+            ell = jnp.linalg.cholesky(jit_g)
+            li = jax.scipy.linalg.solve_triangular(
+                ell, jnp.eye(m, dtype=dtype), lower=True)
+            ht = li @ hm @ li.T
+            theta, y = jnp.linalg.eigh(0.5 * (ht + ht.T))
+            c = li.T @ y[:, :nkeep]
+            return c, theta[:nkeep]
+
+        def combine(c, s):
+            """Rows of c^T s as tiles: (m, nkeep)^T x (m, *tile)."""
+            return jnp.einsum("mi,m...->i...", c, s)
+
+        def local_lobpcg(v):
+            # orthonormalize the prolonged coarse start over the mesh
+            g0 = gram(v, v)
+            ell0 = jnp.linalg.cholesky(
+                g0 + 100.0 * jnp.finfo(dtype).eps * jnp.trace(g0)
+                * jnp.eye(k, dtype=dtype))
+            li0 = jax.scipy.linalg.solve_triangular(
+                ell0, jnp.eye(k, dtype=dtype), lower=True)
+            x = combine(li0.T, v)
+
+            lam, r, res0 = rq_res(x)
+            hist = jnp.full((max_iters + 1,), res0, dtype=dtype)
+            w = safe_rownorm(project_out(tcycle(r), x),
+                             jnp.asarray(0.0, dtype))
+            s = jnp.concatenate([x, w], axis=0)
+            c, _ = rr(s, k)
+            x1 = safe_rownorm(combine(c, s), jnp.asarray(0.5, dtype))
+            p1 = safe_rownorm(combine(c[k:, :], w), jnp.asarray(1.0, dtype))
+            lam1, _, res1 = rq_res(x1)
+            hist = hist.at[1].set(res1)
+
+            def cond(st):
+                _, _, _, it, _, res = st
+                return (res >= tol) & (it < max_iters)
+
+            def body(st):
+                x, p, lam, it, hist, res = st
+                _, r, _ = rq_res(x)
+                salt = it.astype(dtype)
+                w = safe_rownorm(project_out(tcycle(r), x),
+                                 2.0 * salt + 2.0)
+                p = safe_rownorm(
+                    project_out(p, jnp.concatenate([x, w], axis=0)),
+                    2.0 * salt + 3.0)
+                s = jnp.concatenate([x, w, p], axis=0)
+                c, _ = rr(s, k)
+                xn = safe_rownorm(combine(c, s), 2.0 * salt + 4.0)
+                pn = combine(c[k:, :], s[k:])
+                lam2, _, res2 = rq_res(xn)
+                hist = hist.at[it + 1].set(res2)
+                return xn, pn, lam2, it + 1, hist, res2
+
+            x, p, lam, iters, hist, res = jax.lax.while_loop(
+                cond, body, (x1, p1, lam1, 1, hist, res1))
+            idx = jnp.arange(max_iters + 1)
+            hist = jnp.where(idx <= iters, hist, res)
+            return x, lam, iters, hist, res < tol
+
+        from jax import shard_map
+
+        fn = jax.jit(shard_map(
+            local_lobpcg, mesh=self.mesh,
+            in_specs=decomp.spec(leading_none=1),
+            out_specs=(decomp.spec(leading_none=1), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+
+        v0 = seigen.coarse_init(self.hierarchy, k, dtype)
+        sl = (slice(None),) + tuple(
+            slice(1, None) if decomp.info(a) is not None else slice(None)
+            for a in range(cfg.ndim))
+        v0_sh = jax.device_put(
+            jnp.asarray(v0)[sl],
+            NamedSharding(self.mesh, decomp.spec(leading_none=1)))
+        v, lam, iters, hist, conv = fn(v0_sh)
+        pads = [(0, 0)] + [(1, 0) if decomp.info(a) is not None else (0, 0)
+                           for a in range(cfg.ndim)]
+        v_full = np.pad(np.asarray(jax.device_get(v)), pads)
         return seigen.EigenResult(
             eigenvalues=lam, eigenvectors=jnp.asarray(v_full), iters=iters,
             res_history=hist, converged=conv)
 
     def v_cycle_fn(self):
         """The jitted sharded cycle (for benchmarking): tiles -> tiles."""
-        cfg, hier, axis, ndev = (self.config, self.hierarchy, self.axis,
-                                 self.ndev)
+        cfg, hier, decomp = self.config, self.hierarchy, self.decomp
         gamma = 2 if cfg.cycle == "w" else 1
 
         def one_cycle(x, b):
-            return _sharded_v_cycle(hier, cfg, ndev, axis, x, b, 0, gamma)
+            return _sharded_v_cycle(hier, cfg, decomp, x, b, 0, gamma)
 
         from jax import shard_map
 
         return jax.jit(shard_map(
             one_cycle, mesh=self.mesh,
-            in_specs=(P(self.axis, None), P(self.axis, None)),
-            out_specs=P(self.axis, None), check_vma=False))
+            in_specs=(decomp.spec(), decomp.spec()),
+            out_specs=decomp.spec(), check_vma=False))

@@ -80,3 +80,73 @@ def test_1d_eigensolve():
                      laplacian.eigenvalue_1d(2, n, h)])
     np.testing.assert_allclose(np.sort(np.asarray(res.eigenvalues)), want,
                                rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# LOBPCG (beyond-reference accelerator: one V-cycle per vector per step).
+# ---------------------------------------------------------------------------
+
+def test_lobpcg_smallest_eigenpair_2d():
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, smoother="rbgs")
+    res = mg.MultigridSolver(prob).eigensolve(k=1, method="lobpcg",
+                                              tol=1e-9)
+    assert bool(res.converged)
+    n, h = prob.config.n, prob.config.h
+    want = laplacian.eigenvalue_1d(1, n, h) * 2
+    np.testing.assert_allclose(np.asarray(res.eigenvalues), [want],
+                               rtol=1e-8)
+
+
+def test_lobpcg_k3_degenerate_pair():
+    """LOBPCG resolves the degenerate lambda_2 = lambda_3 pair, sorted."""
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, smoother="rbgs")
+    res = mg.MultigridSolver(prob).eigensolve(k=3, method="lobpcg",
+                                              tol=1e-9)
+    assert bool(res.converged)
+    n, h = prob.config.n, prob.config.h
+    want = _exact_smallest(n, h, 3)
+    np.testing.assert_allclose(np.asarray(res.eigenvalues), want, rtol=1e-8)
+    # eigenvalues come out ascending from the Ritz step
+    lams = np.asarray(res.eigenvalues)
+    assert np.all(np.diff(lams) >= -1e-10)
+
+
+def test_lobpcg_fewer_vcycles_than_inverse_iteration():
+    """The point of LOBPCG: far fewer V-cycles per digit. II spends up to
+    inner_cycles V-cycles per vector per outer step; LOBPCG exactly one."""
+    prob = mg.poisson2d(k=6, dtype=jnp.float64, smoother="rbgs")
+    s = mg.MultigridSolver(prob)
+    r_lob = s.eigensolve(k=1, method="lobpcg", tol=1e-9)
+    assert bool(r_lob.converged)
+    # one V-cycle per outer iteration (plus the iteration-0 prestep)
+    assert int(r_lob.iters) <= 12
+
+
+def test_lobpcg_1d_and_3d():
+    for ndim, kgrid in ((1, 7), (3, 4)):
+        prob = mg.poisson(kgrid, ndim=ndim, dtype=jnp.float64,
+                          smoother="chebyshev")
+        res = mg.MultigridSolver(prob).eigensolve(k=1, method="lobpcg",
+                                                  tol=1e-9)
+        assert bool(res.converged)
+        n, h = prob.config.n, prob.config.h
+        want = laplacian.eigenvalue_1d(1, n, h) * ndim
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), [want],
+                                   rtol=1e-8)
+
+
+def test_lobpcg_eigenvector_quality():
+    """Returned eigenvectors are orthonormal and satisfy the residual tol."""
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, smoother="rbgs")
+    res = mg.MultigridSolver(prob).eigensolve(k=2, method="lobpcg",
+                                              tol=1e-9)
+    v = np.asarray(res.eigenvectors)[:, 1:-1, 1:-1].reshape(2, -1)
+    gram = v @ v.T
+    np.testing.assert_allclose(gram, np.eye(2), atol=1e-9)
+    h = prob.config.h
+    from multigridcmt_tpu.ops import laplacian as lap
+    for i in range(2):
+        av = np.asarray(lap.apply_poisson(
+            jnp.asarray(res.eigenvectors[i]), h))[1:-1, 1:-1].ravel()
+        lam = float(res.eigenvalues[i])
+        assert np.linalg.norm(av - lam * v[i]) / lam < 1e-8
