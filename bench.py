@@ -57,7 +57,8 @@ def bench_tpu():
     import jax.numpy as jnp
 
     import multigridcmt_tpu as mg
-    from multigridcmt_tpu.kernels import stencil2d
+    from multigridcmt_tpu import kernels
+    from multigridcmt_tpu.kernels import packed2d, stencil2d
     from multigridcmt_tpu.solvers import cycles
 
     prob = mg.poisson2d(k=K, dtype=jnp.float32, smoother="rbgs",
@@ -65,7 +66,7 @@ def bench_tpu():
     hier, cfg = prob.hierarchy, prob.config
     bk = cycles.get_backend(cfg)
     n, h = hier.fine.n, hier.fine.h
-    b = bk.encode(prob.b)
+    b = bk.encode(prob.b)          # packed (2, r, c/2) at this size
 
     @jax.jit
     def cycles_m(b, m):
@@ -79,13 +80,15 @@ def bench_tpu():
     @jax.jit
     def sweeps_m(b, m):
         def body(i, u):
+            if b.ndim == 3:
+                return packed2d.rbgs_sweep(u, b, n, h, sweeps=1)
             return stencil2d.rbgs_sweep(u, b, n, h)
 
         return jnp.sum(jax.lax.fori_loop(0, m, body, jnp.zeros_like(b)))
 
     sweep_s = _marginal(lambda m: float(sweeps_m(b, m)), k1=2, k2=22)
-    r, c = b.shape
-    gbps = 3 * r * c * 4 / sweep_s / 1e9
+    nbytes = b.size * 4
+    gbps = 3 * nbytes / sweep_s / 1e9
     nnz_per_s = 2 * 5 * n * n / sweep_s
     log(f"[bench] n={n} rbgs sweep {sweep_s * 1e6:.0f} us, "
         f"{gbps:.0f} GB/s ({100 * gbps / HBM_GBPS:.0f}% of HBM roofline), "

@@ -9,11 +9,12 @@ logical layout, where a hand-written kernel cannot win anything.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
-from ..grids import from_aligned, to_aligned
+from ..grids import aligned_shape, from_aligned, to_aligned
 from ..ops import laplacian, smoothers, stencils_aligned, transfer
 from ..solvers.cycles import Backend
-from . import fused2d, stencil2d, transfer2d
+from . import fused2d, packed2d, stencil2d, transfer2d
 
 # Below this interior size, a level uses the aligned-layout jnp stencils
 # instead of a Pallas kernel: the level is cheap either way, and each
@@ -21,9 +22,62 @@ from . import fused2d, stencil2d, transfer2d
 # the axon remote-compile tunnel, not covered by the persistent XLA cache).
 PALLAS_MIN_N = 200
 
+# At or above this interior size, a level lives in the color-packed layout
+# (kernels/packed2d.py): the RB-GS kernels there compute each half-sweep
+# only at its color's points (~1.75x on the VPU-bound sweeps, measured).
+# Layout is dispatched by array rank (packed grids are (2, r, c/2), rank
+# 3); encode/prolong decide the layout of arrays they create from the
+# level's interior size. Levels below the threshold keep the aligned
+# layout and the fused2d/stencil2d kernels.
+#
+# The threshold is chosen so that in the common k <= 12 configs only the
+# FINEST level packs: a packed->packed coarse crossing currently converts
+# through XLA strided scatters (pack/unpack on the coarse grid), which is
+# milliseconds-slow on TPU — far more than the packed sweeps save. With a
+# single packed level the only layout conversions are encode/decode, once
+# per solve. (k >= 13 pays the crossing at its second level; acceptable,
+# but an in-kernel packed-coarse emit would remove it — future work.)
+PACK_MIN_N = 3000
+
+
+def _pack_level(n: int) -> bool:
+    return n >= PACK_MIN_N
+
+
+def _as_aligned_coarse(e: jax.Array, nc: int) -> jax.Array:
+    """Coarse array in aligned layout regardless of its current layout."""
+    if e.ndim == 3:
+        return packed2d.unpack(e, aligned_shape(nc)[1])
+    return e
+
+
+def _coarse_layout(rc: jax.Array, nc: int) -> jax.Array:
+    """Put a freshly created aligned coarse array in its level's layout."""
+    if _pack_level(nc):
+        return packed2d.pack(rc)
+    return rc
+
 
 def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
             omega: float, sweeps: int, sigma=0.0) -> jax.Array:
+    if u.ndim == 3:                      # color-packed level
+        if kind == "rbgs":
+            max_fused = packed2d.max_fused_sweeps()
+            while sweeps > 0:
+                s = min(sweeps, max_fused)
+                u = packed2d.rbgs_sweep(u, b, n, h, sweeps=s, sigma=sigma)
+                sweeps -= s
+            return u
+        if kind == "chebyshev":
+            diag = laplacian.diag_value(2, h, sigma)
+            return smoothers.chebyshev_generic(
+                u, b, sweeps, diag,
+                lambda uu, bb: packed2d.residual(uu, bb, n, h, sigma=sigma))
+        # jacobi: residual kernel + XLA-fused axpy per sweep.
+        scale = omega / (4.0 / (h * h) - sigma)
+        for _ in range(sweeps):
+            u = u + scale * packed2d.residual(u, b, n, h, sigma=sigma)
+        return u
     if u.ndim != 2:
         return smoothers.smooth(u, b, h, kind=kind, omega=omega,
                                 sweeps=sweeps, sigma=sigma)
@@ -57,6 +111,8 @@ def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
 
 def _residual(u: jax.Array, b: jax.Array, n: int, h: float,
               sigma=0.0) -> jax.Array:
+    if u.ndim == 3:
+        return packed2d.residual(u, b, n, h, sigma=sigma)
     if u.ndim != 2:
         return laplacian.residual(u, b, h, sigma=sigma)
     if n < PALLAS_MIN_N:
@@ -65,36 +121,65 @@ def _residual(u: jax.Array, b: jax.Array, n: int, h: float,
 
 
 def _restrict(r: jax.Array, n: int) -> jax.Array:
+    nc = (n - 1) // 2
+    if r.ndim == 3:
+        # restrict(r) == the coarse output of the fused down leg with zero
+        # sweeps applied to (u=0, b=r): residual(0, r) = r.
+        _, rc = packed2d.smooth_residual_restrict(
+            jnp.zeros_like(r), r, n, h=1.0, kind="rbgs", omega=1.0,
+            sweeps=0)
+        return _coarse_layout(rc, nc)
     if r.ndim != 2:
         return transfer.restrict(r)
-    return transfer.restrict_aligned(r, n)
+    return _coarse_layout(transfer.restrict_aligned(r, n), nc)
 
 
 def _prolong(e: jax.Array, nc: int) -> jax.Array:
-    if e.ndim != 2:
+    n = 2 * nc + 1
+    if e.ndim != 2 and e.ndim != 3:
         return transfer.prolong(e)
-    return transfer.prolong_aligned(e, nc)
+    ea = _as_aligned_coarse(e, nc)
+    if _pack_level(n):
+        r, c = aligned_shape(n)
+        zero = jnp.zeros((2, r, packed2d.packed_width(c)), dtype=e.dtype)
+        return packed2d.prolong_add_smooth(
+            zero, ea, zero, n, nc, h=1.0, kind="rbgs", omega=1.0, sweeps=0)
+    return transfer.prolong_aligned(ea, nc)
 
 
 def _encode(u: jax.Array) -> jax.Array:
-    return to_aligned(u) if u.ndim == 2 else u
+    if u.ndim != 2:
+        return u
+    ua = to_aligned(u)
+    return packed2d.pack(ua) if _pack_level(u.shape[0] - 2) else ua
 
 
 def _decode(u: jax.Array, n: int) -> jax.Array:
+    if u.ndim == 3:
+        return from_aligned(packed2d.unpack(u, aligned_shape(n)[1]), n)
     return from_aligned(u, n) if u.ndim == 2 else u
 
 
 def _residual_restrict(u: jax.Array, b: jax.Array, n: int,
                        h: float) -> jax.Array:
+    nc = (n - 1) // 2
+    if u.ndim == 3:
+        _, rc = packed2d.smooth_residual_restrict(
+            u, b, n, h, kind="rbgs", omega=1.0, sweeps=0)
+        return _coarse_layout(rc, nc)
     if u.ndim != 2:
         return transfer.restrict(laplacian.residual(u, b, h))
     if n < PALLAS_MIN_N:
-        return transfer.restrict_aligned(
-            stencils_aligned.residual(u, b, n, h), n)
-    return transfer2d.residual_restrict(u, b, n, h)
+        return _coarse_layout(transfer.restrict_aligned(
+            stencils_aligned.residual(u, b, n, h), n), nc)
+    return _coarse_layout(transfer2d.residual_restrict(u, b, n, h), nc)
 
 
 def _prolong_add(x: jax.Array, e: jax.Array, n: int, nc: int) -> jax.Array:
+    if x.ndim == 3:
+        return packed2d.prolong_add_smooth(
+            x, _as_aligned_coarse(e, nc), jnp.zeros_like(x), n, nc, h=1.0,
+            kind="rbgs", omega=1.0, sweeps=0)
     if x.ndim != 2:
         return x + transfer.prolong(e)
     if n < PALLAS_MIN_N:
@@ -106,21 +191,37 @@ def _smooth_residual_restrict(u, b, n, h, *, kind, omega, sweeps,
                               sigma=0.0):
     """Whole-down-leg fusion; None declines to the composed path (1D,
     small levels, or more sweeps than one kernel's halo supports)."""
+    nc = (n - 1) // 2
+    if u.ndim == 3:
+        if (kind not in ("jacobi", "rbgs")
+                or sweeps > packed2d.max_down_sweeps(kind)):
+            return None
+        us, rc = packed2d.smooth_residual_restrict(
+            u, b, n, h, kind=kind, omega=omega, sweeps=sweeps, sigma=sigma)
+        return us, _coarse_layout(rc, nc)
     if (u.ndim != 2 or n < PALLAS_MIN_N or kind not in ("jacobi", "rbgs")
             or sweeps > fused2d.max_down_sweeps(kind)):
         return None
-    return fused2d.smooth_residual_restrict(
+    us, rc = fused2d.smooth_residual_restrict(
         u, b, n, h, kind=kind, omega=omega, sweeps=sweeps, sigma=sigma)
+    return us, _coarse_layout(rc, nc)
 
 
 def _prolong_add_smooth(x, e, b, n, nc, h, *, kind, omega, sweeps,
                         sigma=0.0):
+    if x.ndim == 3:
+        if (kind not in ("jacobi", "rbgs")
+                or sweeps > packed2d.max_up_sweeps(kind)):
+            return None
+        return packed2d.prolong_add_smooth(
+            x, _as_aligned_coarse(e, nc), b, n, nc, h, kind=kind,
+            omega=omega, sweeps=sweeps, sigma=sigma)
     if (x.ndim != 2 or n < PALLAS_MIN_N or kind not in ("jacobi", "rbgs")
             or sweeps > fused2d.max_up_sweeps(kind)):
         return None
     return fused2d.prolong_add_smooth(
-        x, e, b, n, nc, h, kind=kind, omega=omega, sweeps=sweeps,
-        sigma=sigma)
+        x, _as_aligned_coarse(e, nc), b, n, nc, h, kind=kind, omega=omega,
+        sweeps=sweeps, sigma=sigma)
 
 
 PALLAS_BACKEND = Backend(

@@ -1,0 +1,779 @@
+"""Color-packed Pallas kernels: red/black-split layout for 2D RB-GS.
+
+The aligned-layout RB-GS kernels (stencil2d/fused2d) are VPU-compute-bound,
+not HBM-bound: each half-sweep evaluates the Gauss-Seidel update at EVERY
+grid point and selects by a color mask, so a full sweep costs ~22 vector
+ops per point (measured: one extra fused sweep at 4095^2 = +212 us on this
+chip's ~1.7 Tops/s VPU — right AT the compute roofline, 2x the 3-array DMA
+floor). Masked full-width evaluation wastes exactly half that compute.
+
+This module stores grids **color-packed**: a stacked array (2, r, c/2)
+whose plane 0 holds the red points (global i+j even) and plane 1 the black
+points, packed along lanes with a row-parity offset:
+
+    R[i, jj] = ua[i, 2*jj + (i % 2)]        B[i, jj] = ua[i, 2*jj + 1 - (i % 2)]
+
+In this layout each half-sweep computes ONLY its color's points, on
+half-width vectors. The neighbor algebra stays pure rolls + one row-parity
+select (derivation in _red_neighbor_sum/_black_neighbor_sum): the four
+neighbors of a red point (i, jr) are
+
+    up/down : B[i -+ 1, jr]                       (same lane! the parity
+              offset cancels across rows)
+    left+right: B[i, jr] + B[i, jr - 1 + 2*(i%2)] = B + sel(i even, B_l, B_r)
+
+so a full sweep is ~11 ops per grid point instead of ~22 — the same HBM
+traffic, half the VPU work. Packing/unpacking costs lane-stride-2 shuffles
+and is paid once per solve at the encode/decode boundary (`pack`/`unpack`),
+NOT per sweep — the failure mode that killed per-tile packing (see
+BASELINE.md notes on MXU selection costs).
+
+Layout interop: packed arrays are recognized by ndim == 3 (plane axis
+first). The fused down-leg emits the coarse RHS in the standard *aligned*
+layout (coarse lanes == fine packed lanes, so no lane extraction is needed
+at all — packing makes the restriction cheaper too), which lets every
+coarser level run the existing aligned kernels unchanged; the fused up-leg
+symmetrically consumes an aligned coarse correction.
+
+Same tiling/DMA discipline as stencil2d.py: 8-row-aligned double-buffered
+windows, overlap-recompute at the tail, circular-roll wraparound landing
+only in masked pad cells.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil2d import _interpret
+
+_TILE_ROWS = 64
+_HALO = 8
+
+
+def _tile_plan(r: int):
+    if r <= _TILE_ROWS + 2 * _HALO:
+        return r, r, 1
+    return _TILE_ROWS, _TILE_ROWS + 2 * _HALO, -(-r // _TILE_ROWS)
+
+
+def max_fused_sweeps() -> int:
+    """Staleness is 2 rows/sweep inward, as in the unpacked kernel."""
+    return _HALO // 2
+
+
+# ---------------------------------------------------------------------------
+# Host-side layout transforms (once per solve; XLA strided slices).
+# ---------------------------------------------------------------------------
+
+def packed_width(c: int) -> int:
+    """Packed plane lane count: c/2 rounded up to the 128-lane tiling
+    (c/2 is a multiple of 64 but not always of 128; the pad lanes are
+    zero and masked)."""
+    return -(-(c // 2) // 128) * 128
+
+
+def pack(ua: jax.Array) -> jax.Array:
+    """Aligned (r, c) -> color-packed (2, r, packed_width(c))."""
+    r, c = ua.shape
+    cpp = packed_width(c)
+    red = jnp.zeros((r, cpp), dtype=ua.dtype)
+    red = red.at[0::2, : c // 2].set(ua[0::2, 0::2])
+    red = red.at[1::2, : c // 2].set(ua[1::2, 1::2])
+    blk = jnp.zeros((r, cpp), dtype=ua.dtype)
+    blk = blk.at[0::2, : c // 2].set(ua[0::2, 1::2])
+    blk = blk.at[1::2, : c // 2].set(ua[1::2, 0::2])
+    return jnp.stack([red, blk])
+
+
+def unpack(s: jax.Array, c: int) -> jax.Array:
+    """Color-packed (2, r, cpp) -> aligned (r, c)."""
+    _, r, _ = s.shape
+    ua = jnp.zeros((r, c), dtype=s.dtype)
+    ua = ua.at[0::2, 0::2].set(s[0, 0::2, : c // 2])
+    ua = ua.at[1::2, 1::2].set(s[0, 1::2, : c // 2])
+    ua = ua.at[0::2, 1::2].set(s[1, 0::2, : c // 2])
+    ua = ua.at[1::2, 0::2].set(s[1, 1::2, : c // 2])
+    return ua
+
+
+# ---------------------------------------------------------------------------
+# In-kernel packed stencil algebra. All arrays (lt, cp); `even` is the
+# global-row-parity mask; masks select each plane's interior points.
+# ---------------------------------------------------------------------------
+
+def _masks(n, ps, shape):
+    """(even_row, interior_R, interior_B) for a window at global row ps."""
+    gi = ps + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rows = (gi >= 1) & (gi <= n)
+    even = (gi % 2) == 0
+    jr = 2 * jj + (gi % 2)               # global column of R[i, jj]
+    jb = 2 * jj + 1 - (gi % 2)           # global column of B[i, jj]
+    mask_r = rows & (jr >= 1) & (jr <= n)
+    mask_b = rows & (jb >= 1) & (jb <= n)
+    return even, mask_r, mask_b
+
+
+def _red_neighbor_sum(b, even):
+    """Sum of the 4 (black) neighbors of every red point."""
+    rows, cp = b.shape
+    up = pltpu.roll(b, 1, 0)
+    dn = pltpu.roll(b, rows - 1, 0)
+    bl = pltpu.roll(b, 1, 1)             # B[i, jj-1]
+    br = pltpu.roll(b, cp - 1, 1)        # B[i, jj+1]
+    return up + dn + b + jnp.where(even, bl, br)
+
+
+def _black_neighbor_sum(r, even):
+    """Sum of the 4 (red) neighbors of every black point."""
+    rows, cp = r.shape
+    up = pltpu.roll(r, 1, 0)
+    dn = pltpu.roll(r, rows - 1, 0)
+    rl = pltpu.roll(r, 1, 1)
+    rr = pltpu.roll(r, cp - 1, 1)
+    return up + dn + r + jnp.where(even, rr, rl)
+
+
+def _sweep(red, blk, b_r, b_b, even, mask_r, mask_b, inv_den, h2):
+    """One full packed RB-GS sweep (red then black half-sweep)."""
+    vals = (h2 * b_r + _red_neighbor_sum(blk, even)) * inv_den
+    red = jnp.where(mask_r, vals, red)
+    vals = (h2 * b_b + _black_neighbor_sum(red, even)) * inv_den
+    blk = jnp.where(mask_b, vals, blk)
+    return red, blk
+
+
+def _residual_packed(red, blk, b_r, b_b, even, mask_r, mask_b, inv_h2,
+                     sigma):
+    """(res_R, res_B) = b - (A - sigma I) u in packed planes."""
+    res_r = b_r - (4.0 * red - _red_neighbor_sum(blk, even)) * inv_h2 \
+        + sigma * red
+    res_b = b_b - (4.0 * blk - _black_neighbor_sum(red, even)) * inv_h2 \
+        + sigma * blk
+    return (jnp.where(mask_r, res_r, jnp.zeros_like(res_r)),
+            jnp.where(mask_b, res_b, jnp.zeros_like(res_b)))
+
+
+# ---------------------------------------------------------------------------
+# Tiled multi-sweep RB-GS kernel on packed arrays.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _rbgs_call(n: int, r: int, cp: int, h: float, dtype_name: str,
+               sweeps: int):
+    assert 1 <= sweeps <= max_fused_sweeps()
+    dtype = jnp.dtype(dtype_name)
+    h2 = h * h
+    t, lt, nt = _tile_plan(r)
+
+    def kernel(sigma_ref, u_hbm, b_hbm, out_hbm, ubuf, bbuf, obuf,
+               in_sems, out_sems):
+        sigma = sigma_ref[0, 0]
+        inv_den = 1.0 / (4.0 - sigma * h2)
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            ps = jnp.clip(oo - _HALO, 0, r - lt)
+            return pl.multiple_of(oo, 8), pl.multiple_of(ps, 8)
+
+        def in_copies(i, slot):
+            _, ps = offsets(i)
+            return (
+                pltpu.make_async_copy(u_hbm.at[:, pl.ds(ps, lt), :],
+                                      ubuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[:, pl.ds(ps, lt), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        for cpy in in_copies(0, 0):
+            cpy.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cpy in in_copies(i + 1, nxt):
+                    cpy.start()
+
+            for cpy in in_copies(i, slot):
+                cpy.wait()
+            oo, ps = offsets(i)
+            even, mask_r, mask_b = _masks(n, ps, (lt, cp))
+            red, blk = ubuf[slot, 0], ubuf[slot, 1]
+            b_r, b_b = bbuf[slot, 0], bbuf[slot, 1]
+            for _ in range(sweeps):
+                red, blk = _sweep(red, blk, b_r, b_b, even, mask_r, mask_b,
+                                  inv_den, h2)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :],
+                    out_sems.at[slot]).wait()
+
+            co = pl.multiple_of(oo - ps, 8)
+            obuf[slot, 0, :, :] = red
+            obuf[slot, 1, :, :] = blk
+            pltpu.make_async_copy(
+                obuf.at[slot, :, pl.ds(co, t), :],
+                out_hbm.at[:, pl.ds(oo, t), :], out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[(nt - 1 - j) % 2, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :],
+                    out_sems.at[(nt - 1 - j) % 2]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+
+    scratch = [
+        pltpu.VMEM((2, 2, lt, cp), dtype),    # ubuf
+        pltpu.VMEM((2, 2, lt, cp), dtype),    # bbuf
+        pltpu.VMEM((2, 2, lt, cp), dtype),    # obuf
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def call(sigma_arr, u, b):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((2, r, cp), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * sweeps * n * n, transcendentals=0,
+                bytes_accessed=3 * 2 * r * cp * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, u, b)
+
+    return call
+
+
+def rbgs_sweep(s: jax.Array, bs: jax.Array, n: int, h: float, *,
+               sweeps: int = 1, sigma=0.0) -> jax.Array:
+    """`sweeps` full RB-GS sweeps on color-packed grids, one HBM pass."""
+    _, r, cp = s.shape
+    call = _rbgs_call(n, r, cp, float(h), jnp.dtype(s.dtype).name, sweeps)
+    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    return call(sig, s, bs)
+
+
+def _smooth_window(red, blk, b_r, b_b, sigma, even, mask_r, mask_b, h2,
+                   kind, omega, sweeps):
+    """nu masked smoother sweeps on a packed window (edges go stale)."""
+    if kind == "rbgs":
+        inv_den = 1.0 / (4.0 - sigma * h2)
+        for _ in range(sweeps):
+            red, blk = _sweep(red, blk, b_r, b_b, even, mask_r, mask_b,
+                              inv_den, h2)
+    else:   # jacobi
+        inv_h2 = 1.0 / h2
+        scale = omega / (4.0 * inv_h2 - sigma)
+        for _ in range(sweeps):
+            res_r, res_b = _residual_packed(red, blk, b_r, b_b, even,
+                                            mask_r, mask_b, inv_h2, sigma)
+            red = jnp.where(mask_r, red + scale * res_r, red)
+            blk = jnp.where(mask_b, blk + scale * res_b, blk)
+    return red, blk
+
+
+# ---------------------------------------------------------------------------
+# Tiled packed residual kernel (solve-loop convergence checks, Chebyshev).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _residual_call(n: int, r: int, cp: int, h: float, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    inv_h2 = 1.0 / (h * h)
+    t, lt, nt = _tile_plan(r)
+
+    def kernel(sigma_ref, u_hbm, b_hbm, out_hbm, ubuf, bbuf, obuf,
+               in_sems, out_sems):
+        sigma = sigma_ref[0, 0]
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            ps = jnp.clip(oo - _HALO, 0, r - lt)
+            return pl.multiple_of(oo, 8), pl.multiple_of(ps, 8)
+
+        def in_copies(i, slot):
+            _, ps = offsets(i)
+            return (
+                pltpu.make_async_copy(u_hbm.at[:, pl.ds(ps, lt), :],
+                                      ubuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[:, pl.ds(ps, lt), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        for cpy in in_copies(0, 0):
+            cpy.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cpy in in_copies(i + 1, nxt):
+                    cpy.start()
+
+            for cpy in in_copies(i, slot):
+                cpy.wait()
+            oo, ps = offsets(i)
+            even, mask_r, mask_b = _masks(n, ps, (lt, cp))
+            res_r, res_b = _residual_packed(
+                ubuf[slot, 0], ubuf[slot, 1], bbuf[slot, 0], bbuf[slot, 1],
+                even, mask_r, mask_b, inv_h2, sigma)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :],
+                    out_sems.at[slot]).wait()
+
+            co = pl.multiple_of(oo - ps, 8)
+            obuf[slot, 0, :, :] = res_r
+            obuf[slot, 1, :, :] = res_b
+            pltpu.make_async_copy(
+                obuf.at[slot, :, pl.ds(co, t), :],
+                out_hbm.at[:, pl.ds(oo, t), :], out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[(nt - 1 - j) % 2, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :],
+                    out_sems.at[(nt - 1 - j) % 2]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+
+    scratch = [
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def call(sigma_arr, u, b):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((2, r, cp), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * n * n, transcendentals=0,
+                bytes_accessed=3 * 2 * r * cp * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, u, b)
+
+    return call
+
+
+def residual(s: jax.Array, bs: jax.Array, n: int, h: float,
+             sigma=0.0) -> jax.Array:
+    """Packed r = b - (A - sigma I) u, one HBM pass."""
+    _, r, cp = s.shape
+    call = _residual_call(n, r, cp, float(h), jnp.dtype(s.dtype).name)
+    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    return call(sig, s, bs)
+
+
+# ---------------------------------------------------------------------------
+# Fused down leg: smooth^nu1 -> residual -> restrict, one HBM pass.
+# The coarse RHS comes out in the standard *aligned* layout: coarse column
+# J lives at packed lane J (the packing already halved the lanes), so the
+# only cross-resolution step is the stride-2 ROW extraction (qsel matmul).
+# ---------------------------------------------------------------------------
+
+_HALO_DN = 8
+_T_DN = 64
+
+
+def max_down_sweeps(kind: str) -> int:
+    # Staleness: 2 rows/sweep (rbgs) or 1 (jacobi), +1 residual, +1 row
+    # full-weighting.
+    return (_HALO_DN - 2) // 2 if kind == "rbgs" else _HALO_DN - 2
+
+
+@functools.lru_cache(maxsize=None)
+def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
+               h: float, kind: str, omega: float, sweeps: int,
+               dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    h2 = h * h
+    inv_h2 = 1.0 / h2
+    assert cc <= cp, (cc, cp)
+    t = min(_T_DN, r)
+    lt = min(t + 2 * _HALO_DN, r)
+    nt = -(-r // t)
+    tc = t // 2
+    assert rc >= r // 2, (n, r, rc)
+    zr = rc - r // 2                     # coarse pad rows (zero invariant)
+
+    def kernel(sigma_ref, u_hbm, b_hbm, u_out, rc_out, ubuf, bbuf, obuf,
+               cbuf, zbuf, in_sems, out_sems, z_sem):
+        sigma = sigma_ref[0, 0]
+        if zr > 0:
+            zbuf[:, :] = jnp.zeros((zr, cc), dtype)
+            zcp = pltpu.make_async_copy(
+                zbuf, rc_out.at[pl.ds(r // 2, zr), :], z_sem)
+            zcp.start()
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            ps = jnp.clip(oo - _HALO_DN, 0, r - lt)
+            return pl.multiple_of(oo, 16), pl.multiple_of(ps, 8)
+
+        def in_copies(i, slot):
+            _, ps = offsets(i)
+            return (
+                pltpu.make_async_copy(u_hbm.at[:, pl.ds(ps, lt), :],
+                                      ubuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[:, pl.ds(ps, lt), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        for cpy in in_copies(0, 0):
+            cpy.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cpy in in_copies(i + 1, nxt):
+                    cpy.start()
+
+            for cpy in in_copies(i, slot):
+                cpy.wait()
+            oo, ps = offsets(i)
+            even, mask_r, mask_b = _masks(n, ps, (lt, cp))
+            b_r, b_b = bbuf[slot, 0], bbuf[slot, 1]
+            red, blk = _smooth_window(
+                ubuf[slot, 0], ubuf[slot, 1], b_r, b_b, sigma, even,
+                mask_r, mask_b, h2, kind, omega, sweeps)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, :, pl.ds(0, t), :],
+                    u_out.at[:, pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
+                    out_sems.at[slot, 1]).wait()
+
+            obuf[slot, 0, :, :] = red
+            obuf[slot, 1, :, :] = blk
+
+            res_r, res_b = _residual_packed(
+                obuf[slot, 0], obuf[slot, 1], b_r, b_b, even, mask_r,
+                mask_b, inv_h2, sigma)
+
+            # Full weighting in packed coordinates. Coarse (I, J), fine
+            # center (2I, 2J) = red plane lane J; per-window-row combine:
+            #   even rows:  E = 4*res_R + 2*(res_B + res_B[.,J-1])
+            #   odd rows:   O = 2*res_B + (res_R + res_R[.,J-1])
+            # rc[I, J] = (E[2I] + O[2I-1] + O[2I+1]) / 16.
+            a = jnp.where(
+                even,
+                4.0 * res_r + 2.0 * (res_b + pltpu.roll(res_b, 1, 1)),
+                2.0 * res_b + (res_r + pltpu.roll(res_r, 1, 1)))
+            comb = 0.0625 * (a + pltpu.roll(a, 1, 0)
+                             + pltpu.roll(a, lt - 1, 0))
+
+            # Stride-2 row extraction on the MXU: coarse row q (global
+            # jc = oo//2 + q) reads window row 2*jc - ps.
+            co = oo - ps
+            qsel = (_iota2((tc, lt), 1)
+                    == co + 2 * _iota2((tc, lt), 0)).astype(dtype)
+            rows_c = jax.lax.dot_general(
+                qsel, comb, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+
+            jc0 = pl.multiple_of(oo // 2, 8)
+            gjc = jc0 + _iota2((tc, cc), 0)
+            gcc = _iota2((tc, cc), 1)
+            cmask = (gjc >= 1) & (gjc <= nc) & (gcc >= 1) & (gcc <= nc)
+            cbuf[slot, :, :] = jnp.where(cmask, rows_c[:, :cc],
+                                         jnp.zeros((tc, cc), dtype))
+
+            pltpu.make_async_copy(
+                obuf.at[slot, :, pl.ds(pl.multiple_of(co, 8), t), :],
+                u_out.at[:, pl.ds(oo, t), :], out_sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                cbuf.at[slot], rc_out.at[pl.ds(jc0, tc), :],
+                out_sems.at[slot, 1]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                slot = (nt - 1 - j) % 2
+                pltpu.make_async_copy(
+                    obuf.at[slot, :, pl.ds(0, t), :],
+                    u_out.at[:, pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
+                    out_sems.at[slot, 1]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+        if zr > 0:
+            zcp.wait()
+
+    scratch = [
+        pltpu.VMEM((2, 2, lt, cp), dtype),    # ubuf
+        pltpu.VMEM((2, 2, lt, cp), dtype),    # bbuf
+        pltpu.VMEM((2, 2, lt, cp), dtype),    # obuf (smoothed planes)
+        pltpu.VMEM((2, tc, cc), dtype),       # cbuf (coarse rows)
+        pltpu.VMEM((max(zr, 8), cc), dtype),  # zbuf
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA,
+    ]
+
+    def call(sigma_arr, u, b):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((2, r, cp), dtype),
+                       jax.ShapeDtypeStruct((rc, cc), dtype)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=(6 * sweeps + 14) * n * n, transcendentals=0,
+                bytes_accessed=(3 * 2 * r * cp + rc * cc)
+                * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, u, b)
+
+    return call
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def smooth_residual_restrict(s: jax.Array, bs: jax.Array, n: int, h: float,
+                             *, kind: str, omega: float, sweeps: int,
+                             sigma=0.0):
+    """(smooth^sweeps(u), restrict(b - A u')) in ONE HBM pass — packed
+    fine planes in/out, aligned coarse RHS out."""
+    from ..grids import aligned_shape
+
+    assert 0 <= sweeps <= max_down_sweeps(kind)
+    nc = (n - 1) // 2
+    _, r, cp = s.shape
+    rc, cc = aligned_shape(nc)
+    call = _down_call(n, nc, r, cp, rc, cc, float(h), kind, float(omega),
+                      sweeps, jnp.dtype(s.dtype).name)
+    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    return call(sig, s, bs)
+
+
+# ---------------------------------------------------------------------------
+# Fused up leg: prolong (aligned coarse) -> correct -> smooth^nu2.
+# One rsel row-interpolation matmul gives G[i] = e[i/2] (even i) or the
+# half-sum of the two flanking coarse rows (odd i); the packed-plane values
+# are then pure lane algebra:
+#   P_R = even ? G : (G + G[.,J+1]) / 2      (odd-odd corners: quarter sums)
+#   P_B = even ? (G + G[.,J+1]) / 2 : G
+# ---------------------------------------------------------------------------
+
+_HALO_UP = 8
+_T_UP = 64
+
+
+def max_up_sweeps(kind: str) -> int:
+    return _HALO_UP // 2 if kind == "rbgs" else _HALO_UP
+
+
+@functools.lru_cache(maxsize=None)
+def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
+             kind: str, omega: float, sweeps: int, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    h2 = h * h
+    assert cc <= cp, (cc, cp)
+    t = min(_T_UP, r)
+    ltf = min(t + 2 * _HALO_UP, r)
+    ltc = min(t // 2 + 2 * _HALO_UP, rc)
+    nt = -(-r // t)
+    assert rc >= r // 2, (n, r, rc)
+
+    def kernel(sigma_ref, x_hbm, e_hbm, b_hbm, out_hbm, xbuf, bbuf, ebuf,
+               gbuf, obuf, in_sems, out_sems):
+        sigma = sigma_ref[0, 0]
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            pf = jnp.clip(oo - _HALO_UP, 0, r - ltf)
+            pc = jnp.clip(oo // 2 - _HALO_UP, 0, rc - ltc)
+            return (pl.multiple_of(oo, 16), pl.multiple_of(pf, 8),
+                    pl.multiple_of(pc, 8))
+
+        def in_copies(i, slot):
+            _, pf, pc = offsets(i)
+            return (
+                pltpu.make_async_copy(x_hbm.at[:, pl.ds(pf, ltf), :],
+                                      xbuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[:, pl.ds(pf, ltf), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+                pltpu.make_async_copy(e_hbm.at[pl.ds(pc, ltc), :],
+                                      ebuf.at[slot], in_sems.at[slot, 2]),
+            )
+
+        for cpy in in_copies(0, 0):
+            cpy.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cpy in in_copies(i + 1, nxt):
+                    cpy.start()
+
+            for cpy in in_copies(i, slot):
+                cpy.wait()
+            oo, pf, pc = offsets(i)
+
+            # Row interpolation (fused2d rsel pattern): G[t0] = e[f/2] for
+            # even f = pf + t0, else (e[(f-1)/2] + e[(f+1)/2]) / 2.
+            t0 = _iota2((ltf, ltc), 0)
+            q = _iota2((ltf, ltc), 1)
+            f = pf + t0
+            jq = pc + q
+            feven = (f % 2) == 0
+            rsel = (jnp.where(feven & (2 * jq == f), 1.0, 0.0)
+                    + jnp.where((~feven) & ((2 * jq == f - 1)
+                                            | (2 * jq == f + 1)), 0.5, 0.0)
+                    ).astype(dtype)
+            g = jax.lax.dot_general(
+                rsel, ebuf[slot], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+            if cc < cp:
+                gbuf[:, :cc] = g
+                gbuf[:, cc:] = jnp.zeros((ltf, cp - cc), dtype)
+            else:
+                gbuf[:, :] = g
+            gw = gbuf[:, :]
+            gr = pltpu.roll(gw, cp - 1, 1)          # G[., J+1]
+            half = 0.5 * (gw + gr)
+
+            even, mask_r, mask_b = _masks(n, pf, (ltf, cp))
+            red = xbuf[slot, 0]
+            blk = xbuf[slot, 1]
+            red = jnp.where(mask_r, red + jnp.where(even, gw, half), red)
+            blk = jnp.where(mask_b, blk + jnp.where(even, half, gw), blk)
+
+            red, blk = _smooth_window(
+                red, blk, bbuf[slot, 0], bbuf[slot, 1], sigma, even,
+                mask_r, mask_b, h2, kind, omega, sweeps)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :], out_sems.at[slot]).wait()
+
+            obuf[slot, 0, :, :] = red
+            obuf[slot, 1, :, :] = blk
+            pltpu.make_async_copy(
+                obuf.at[slot, :, pl.ds(pl.multiple_of(oo - pf, 8), t), :],
+                out_hbm.at[:, pl.ds(oo, t), :], out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[(nt - 1 - j) % 2, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :],
+                    out_sems.at[(nt - 1 - j) % 2]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+
+    scratch = [
+        pltpu.VMEM((2, 2, ltf, cp), dtype),   # xbuf
+        pltpu.VMEM((2, 2, ltf, cp), dtype),   # bbuf
+        pltpu.VMEM((2, ltc, cc), dtype),      # ebuf
+        pltpu.VMEM((ltf, cp), dtype),         # gbuf (interpolated rows)
+        pltpu.VMEM((2, 2, ltf, cp), dtype),   # obuf
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def call(sigma_arr, x, e, b):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((2, r, cp), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=(6 * sweeps + 3) * n * n, transcendentals=0,
+                bytes_accessed=(3 * 2 * r * cp + rc * cc)
+                * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, x, e, b)
+
+    return call
+
+
+def prolong_add_smooth(x: jax.Array, e: jax.Array, b: jax.Array, n: int,
+                       nc: int, h: float, *, kind: str, omega: float,
+                       sweeps: int, sigma=0.0) -> jax.Array:
+    """smooth^sweeps(x + P e) in ONE HBM pass — packed fine planes in/out,
+    aligned coarse correction in."""
+    assert 0 <= sweeps <= max_up_sweeps(kind)
+    _, r, cp = x.shape
+    rc, cc = e.shape
+    call = _up_call(n, nc, r, cp, rc, cc, float(h), kind, float(omega),
+                    sweeps, jnp.dtype(x.dtype).name)
+    sig = jnp.asarray(sigma, dtype=x.dtype).reshape(1, 1)
+    return call(sig, x, e, b)
