@@ -494,19 +494,32 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
             obuf[slot, 0, :, :] = red
             obuf[slot, 1, :, :] = blk
 
-            res_r, res_b = _residual_packed(
-                obuf[slot, 0], obuf[slot, 1], b_r, b_b, even, mask_r,
-                mask_b, inv_h2, sigma)
-
             # Full weighting in packed coordinates. Coarse (I, J), fine
             # center (2I, 2J) = red plane lane J; per-window-row combine:
             #   even rows:  E = 4*res_R + 2*(res_B + res_B[.,J-1])
             #   odd rows:   O = 2*res_B + (res_R + res_R[.,J-1])
             # rc[I, J] = (E[2I] + O[2I-1] + O[2I+1]) / 16.
-            a = jnp.where(
-                even,
-                4.0 * res_r + 2.0 * (res_b + pltpu.roll(res_b, 1, 1)),
-                2.0 * res_b + (res_r + pltpu.roll(res_r, 1, 1)))
+            if kind == "rbgs" and sweeps >= 1:
+                # A Gauss-Seidel half-sweep zeroes the residual at every
+                # point it updates, EXACTLY (the update solves the point
+                # equation): after the closing black half-sweep, res_B = 0
+                # and only the red residual needs computing — half the
+                # residual work and all res_B restriction terms vanish.
+                rblk = obuf[slot, 1]
+                res_r = b_r - (4.0 * obuf[slot, 0]
+                               - _red_neighbor_sum(rblk, even)) * inv_h2 \
+                    + sigma * obuf[slot, 0]
+                res_r = jnp.where(mask_r, res_r, jnp.zeros_like(res_r))
+                a = jnp.where(even, 4.0 * res_r,
+                              res_r + pltpu.roll(res_r, 1, 1))
+            else:
+                res_r, res_b = _residual_packed(
+                    obuf[slot, 0], obuf[slot, 1], b_r, b_b, even, mask_r,
+                    mask_b, inv_h2, sigma)
+                a = jnp.where(
+                    even,
+                    4.0 * res_r + 2.0 * (res_b + pltpu.roll(res_b, 1, 1)),
+                    2.0 * res_b + (res_r + pltpu.roll(res_r, 1, 1)))
             comb = 0.0625 * (a + pltpu.roll(a, 1, 0)
                              + pltpu.roll(a, lt - 1, 0))
 
