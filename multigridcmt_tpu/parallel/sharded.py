@@ -33,11 +33,14 @@ Partitioning invariants (vertex-centered 2^k - 1 grids), per sharded axis:
   the same ownership formula holds on every sharded level; restriction
   needs only the far halo, prolongation only the near halo.
 
-* Halo extension is applied **sequentially per sharded axis**, which fills
-  the corner ghosts with the correct diagonal-neighbor values for free
-  (the second axis' ppermute carries the first axis' halo along) — so a
-  halo-extended tile is locally indistinguishable from a padded grid and
-  the separable 9/27-point transfer stencils need no extra corner comm.
+* Halo handling is **overlapped with compute**: every op issues its
+  ppermutes first, runs the stencil/transfer on local data with zero
+  edges, and folds the arriving halo slabs into the boundary slices as
+  additive fixups (``_neighbor_sum_dd``) — XLA's latency-hiding scheduler
+  can then run the bulk of the stencil while the collectives are in
+  flight (SURVEY.md §7 hard part #2). The face stencils and the
+  *separable* per-axis transfer passes never read corner ghosts, so no
+  diagonal-neighbor communication is needed at all.
 
 * Red-black Gauss-Seidel re-exchanges halos between the two half-sweeps
   (the updated red halo feeds the black sweep) — this is what keeps the
@@ -169,20 +172,6 @@ def halo_extend(u: jax.Array, axis: str, ndev: int) -> jax.Array:
     return _halo_extend_axis(u, 0, axis, ndev)
 
 
-def halo_extend_all(u: jax.Array, decomp: Decomp) -> jax.Array:
-    """Extend every sharded axis. Sequential extension carries the earlier
-    axes' halos along, so corner ghosts hold the true diagonal-neighbor
-    values and the result is locally a padded grid."""
-    for a, ma, nd in decomp.axes:
-        u = _halo_extend_axis(u, a, ma, nd)
-    return u
-
-
-def _core(x: jax.Array) -> jax.Array:
-    """Slice 1:-1 along every axis."""
-    return x[(slice(1, -1),) * x.ndim]
-
-
 def _neighbor_sum(ext: jax.Array) -> jax.Array:
     """Sum of the 2*ndim face neighbors at every core point of a (locally)
     padded tile."""
@@ -203,6 +192,45 @@ def _slice_unsharded(x: jax.Array, decomp: Decomp) -> jax.Array:
     idx = tuple(slice(None) if decomp.info(a) is not None else slice(1, -1)
                 for a in range(x.ndim))
     return x[idx]
+
+
+def _neighbor_sum_dd(u: jax.Array, decomp: Decomp) -> jax.Array:
+    """Face-neighbor sum with compute/comm overlap (SURVEY.md §5, §7 hard
+    part #2).
+
+    The halo ``ppermute``s are issued FIRST and their contributions are
+    ADDED to the boundary slices after the local stencil sum — so the bulk
+    of the stencil work depends only on local data and XLA's latency-hiding
+    scheduler can run it while the collective permutes are in flight. (The
+    ``halo_extend_all``-then-stencil form serializes: every output element
+    depends on the concatenated halo.) Numerically identical up to fp
+    summation order on the boundary slices.
+    """
+    nd = u.ndim
+    # 1. Kick off every halo exchange (2 slabs per sharded axis).
+    slabs = []
+    for a, ma, ndev in decomp.axes:
+        v = jnp.moveaxis(u, a, 0)
+        near = jax.lax.ppermute(v[-1:], ma, _perm_down(ndev))
+        far = jax.lax.ppermute(v[:1], ma, _perm_up(ndev))
+        slabs.append((a, jnp.moveaxis(near, 0, a), jnp.moveaxis(far, 0, a)))
+    # 2. Local stencil sum with zero edges along sharded axes (unsharded
+    #    axes already carry their ghost padding).
+    pads = [(1, 1) if decomp.info(a) is not None else (0, 0)
+            for a in range(nd)]
+    total = _neighbor_sum(jnp.pad(u, pads))
+    # 3. Fold the halo slabs into the boundary slices when they arrive.
+    for a, near, far in slabs:
+        nearc = _slice_unsharded(near, decomp)
+        farc = _slice_unsharded(far, decomp)
+        m = total.shape[a]
+        first = tuple(slice(0, 1) if i == a else slice(None)
+                      for i in range(nd))
+        last = tuple(slice(m - 1, m) if i == a else slice(None)
+                     for i in range(nd))
+        total = total.at[first].add(nearc)
+        total = total.at[last].add(farc)
+    return total
 
 
 def _pad_unsharded(x: jax.Array, decomp: Decomp) -> jax.Array:
@@ -248,11 +276,12 @@ def _coord_sum(shape, decomp: Decomp) -> jax.Array:
 
 
 def s_residual(u, b, n, h, decomp: Decomp, sigma=0.0):
-    """r = b - (A - sigma I) u on owned tiles (one halo exchange per axis)."""
-    ext = halo_extend_all(u, decomp)
-    ctr = _core(ext)
+    """r = b - (A - sigma I) u on owned tiles (one overlapped halo
+    exchange round per axis)."""
+    nbr = _neighbor_sum_dd(u, decomp)
+    ctr = _slice_unsharded(u, decomp)
     inv_h2 = 1.0 / (h * h)
-    au = (2.0 * decomp.ndim * ctr - _neighbor_sum(ext)) * inv_h2
+    au = (2.0 * decomp.ndim * ctr - nbr) * inv_h2
     r = _slice_unsharded(b, decomp) - au + sigma * ctr
     return jnp.where(_interior_mask(n, u.shape, decomp),
                      _pad_unsharded(r, decomp), jnp.zeros_like(u))
@@ -276,9 +305,8 @@ def s_rbgs(u, b, n, h, decomp: Decomp, sigma=0.0):
     imask = _interior_mask(n, u.shape, decomp)
     bcore = _slice_unsharded(b, decomp)
     for parity in (0, 1):
-        ext = halo_extend_all(u, decomp)
-        vals = _pad_unsharded((h2 * bcore + _neighbor_sum(ext)) / den,
-                              decomp)
+        vals = _pad_unsharded(
+            (h2 * bcore + _neighbor_sum_dd(u, decomp)) / den, decomp)
         u = jnp.where(imask & (colors == parity), vals, u)
     return u
 
@@ -319,10 +347,16 @@ def s_restrict(r, n, decomp: Decomp):
             ma, nd = info
             v = jnp.moveaxis(r, a, 0)
             m = v.shape[0]
-            ext = _halo_extend_axis(v, 0, ma, nd)     # entries 0..m+1
-            v = 0.25 * (ext[1:m:2] + 2.0 * ext[2:m + 1:2]
-                        + ext[3:m + 2:2])             # (m/2, ...)
-            r = jnp.moveaxis(v, 0, a)
+            mc = m // 2
+            # Only the FAR halo is read (coarse q reads fine 2q+1..2q+3,
+            # i.e. owned entries plus the next neighbor's first row for
+            # q = mc-1). Issue the ppermute first and fold it in as an
+            # additive fixup so the bulk sum overlaps the exchange.
+            far = jax.lax.ppermute(v[:1], ma, _perm_up(nd))
+            third = jnp.pad(v[2::2], [(0, 1)] + [(0, 0)] * (v.ndim - 1))
+            w = 0.25 * (v[0:m - 1:2] + 2.0 * v[1:m:2] + third)
+            w = w.at[mc - 1:mc].add(0.25 * far)
+            r = jnp.moveaxis(w, 0, a)
     mask = _interior_mask(nc, r.shape, decomp)
     return jnp.where(mask, r, jnp.zeros_like(r))
 
@@ -344,12 +378,17 @@ def s_prolong(e, nc, decomp: Decomp):
             ma, nd = info
             v = jnp.moveaxis(e, a, 0)
             mc = v.shape[0]
-            ext = _halo_extend_axis(v, 0, ma, nd)     # entries 0..mc+1
-            odd_f = 0.5 * (ext[0:mc] + ext[1:mc + 1])  # fine i = 0, 2, ...
-            even_f = ext[1:mc + 1]                     # fine i = 1, 3, ...
+            # Only the NEAR halo is read (fine owned entry 0 is odd and
+            # averages coarse entries on both sides of the boundary);
+            # overlapped additive fixup as in s_restrict.
+            near = jax.lax.ppermute(v[-1:], ma, _perm_down(nd))
+            prev = jnp.pad(v[: mc - 1],
+                           [(1, 0)] + [(0, 0)] * (v.ndim - 1))
+            odd_f = 0.5 * (prev + v)                   # fine i = 0, 2, ...
+            odd_f = odd_f.at[0:1].add(0.5 * near)
             out = jnp.zeros((2 * mc,) + v.shape[1:], dtype=e.dtype)
             out = out.at[0::2].set(odd_f)
-            out = out.at[1::2].set(even_f)
+            out = out.at[1::2].set(v)                  # fine i = 1, 3, ...
             e = jnp.moveaxis(out, 0, a)
     mask = _interior_mask(n, e.shape, decomp)
     return jnp.where(mask, e, jnp.zeros_like(e))
