@@ -49,7 +49,9 @@ def main():
     import jax.numpy as jnp
 
     import multigridcmt_tpu as mg
-    from multigridcmt_tpu.kernels import fused2d, stencil2d, transfer2d
+    from multigridcmt_tpu.grids import to_aligned
+    from multigridcmt_tpu.kernels import (fused2d, packed2d, stencil2d,
+                                          transfer2d)
     from multigridcmt_tpu.solvers import cycles
 
     prob = mg.poisson2d(k=args.k, dtype=jnp.float32, smoother="rbgs",
@@ -57,7 +59,8 @@ def main():
     hier, cfg = prob.hierarchy, prob.config
     bk = cycles.get_backend(cfg)
     n, h = hier.fine.n, hier.fine.h
-    b = bk.encode(prob.b)
+    benc = bk.encode(prob.b)       # the solve-path layout (packed if big)
+    b = to_aligned(prob.b)         # aligned copy for the aligned kernels
     r, c = b.shape
     byte = r * c * 4
 
@@ -134,14 +137,57 @@ def main():
     sec = marginal(lambda m: float(pa_chain(b, ec, m)))
     report("prolong_add", sec, 2.27 * byte)
 
+    # --- color-packed kernels (the solve path at this size) -------------
+    if benc.ndim == 3:
+        bp = benc
+        pbyte = bp.size * 4
+
+        def pchain(op):
+            @jax.jit
+            def f(bp, m):
+                def body(i, u):
+                    return op(u, bp)
+
+                return jnp.sum(jax.lax.fori_loop(0, m, body,
+                                                 jnp.zeros_like(bp)))
+
+            return lambda m: float(f(bp, m))
+
+        sec = marginal(pchain(
+            lambda u, bb: packed2d.rbgs_sweep(u, bb, n, h, sweeps=1)))
+        report("packed rbgs_sweep x1", sec, 3 * pbyte)
+        sec = marginal(pchain(
+            lambda u, bb: packed2d.rbgs_sweep(u, bb, n, h, sweeps=2)))
+        report("packed rbgs_sweep x2 (fused)", sec, 3 * pbyte)
+        sec = marginal(pchain(
+            lambda u, bb: packed2d.residual(u, bb, n, h)))
+        report("packed residual", sec, 3 * pbyte)
+        sec = marginal(pchain(
+            lambda u, bb: packed2d.smooth_residual_restrict(
+                u, bb, n, h, kind="rbgs", omega=omega, sweeps=2)[0]))
+        report("packed down leg", sec, 2.27 * pbyte)
+
+        @jax.jit
+        def pup_chain(bp, ec, m):
+            def body(i, u):
+                return packed2d.prolong_add_smooth(
+                    u, ec, bp, n, (n - 1) // 2, h, kind="rbgs",
+                    omega=omega, sweeps=2)
+
+            return jnp.sum(jax.lax.fori_loop(0, m, body,
+                                             jnp.zeros_like(bp)))
+
+        sec = marginal(lambda m: float(pup_chain(bp, ec, m)))
+        report("packed up leg", sec, 3.27 * pbyte)
+
     @jax.jit
-    def cyc(b, m):
+    def cyc(benc, m):
         def body(i, x):
-            return cycles.cycle(hier, x, b, cfg)
+            return cycles.cycle(hier, x, benc, cfg)
 
-        return jnp.sum(jax.lax.fori_loop(0, m, body, jnp.zeros_like(b)))
+        return jnp.sum(jax.lax.fori_loop(0, m, body, jnp.zeros_like(benc)))
 
-    sec = marginal(lambda m: float(cyc(b, m)), 1, 9)
+    sec = marginal(lambda m: float(cyc(benc, m)), 1, 9)
     log(f"{'FULL V(2,2) cycle':34s} {sec * 1e6:7.0f} us")
 
     if args.levels:
