@@ -224,6 +224,13 @@ def _prolong_add_smooth(x, e, b, n, nc, h, *, kind, omega, sweeps,
         sweeps=sweeps, sigma=sigma)
 
 
+def _residual_norm2(x, b, n, h, red_only=False):
+    """Fused convergence check on packed levels; None declines elsewhere."""
+    if x.ndim != 3:
+        return None
+    return packed2d.residual_norm_sq(x, b, n, h, red_only=red_only)
+
+
 PALLAS_BACKEND = Backend(
     smooth=_smooth,
     residual=_residual,
@@ -235,4 +242,5 @@ PALLAS_BACKEND = Backend(
     prolong_add=_prolong_add,
     smooth_residual_restrict=_smooth_residual_restrict,
     prolong_add_smooth=_prolong_add_smooth,
+    residual_norm2=_residual_norm2,
 )

@@ -407,6 +407,118 @@ def residual(s: jax.Array, bs: jax.Array, n: int, h: float,
 
 
 # ---------------------------------------------------------------------------
+# Fused residual NORM: ||b - A u||^2 straight from u, b — no residual
+# array is materialized (2 HBM read passes, zero writes). With
+# red_only=True (valid right after an RB-GS sweep, whose closing black
+# half-sweep zeroes the black residual exactly) only the red plane's
+# residual is evaluated. This is the solve loop's convergence check.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _resnorm_call(n: int, r: int, cp: int, h: float, red_only: bool,
+                  dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    inv_h2 = 1.0 / (h * h)
+    t, lt, nt = _tile_plan(r)
+
+    def kernel(sigma_ref, u_hbm, b_hbm, out_ref, ubuf, bbuf, acc_ref,
+               in_sems):
+        sigma = sigma_ref[0, 0]
+        acc_ref[0, 0] = jnp.zeros((), dtype)
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            ps = jnp.clip(oo - _HALO, 0, r - lt)
+            return oo, pl.multiple_of(ps, 8)
+
+        def in_copies(i, slot):
+            _, ps = offsets(i)
+            return (
+                pltpu.make_async_copy(u_hbm.at[:, pl.ds(ps, lt), :],
+                                      ubuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[:, pl.ds(ps, lt), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        for cpy in in_copies(0, 0):
+            cpy.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cpy in in_copies(i + 1, nxt):
+                    cpy.start()
+
+            for cpy in in_copies(i, slot):
+                cpy.wait()
+            oo, ps = offsets(i)
+            even, mask_r, mask_b = _masks(n, ps, (lt, cp))
+            # Each tile owns global rows [i*t, (i+1)*t): the overlapped
+            # tail tile would double-count without this ownership mask.
+            gi = ps + jax.lax.broadcasted_iota(jnp.int32, (lt, cp), 0)
+            own = (gi >= i * t) & (gi < (i + 1) * t)
+            red, blk = ubuf[slot, 0], ubuf[slot, 1]
+            b_r, b_b = bbuf[slot, 0], bbuf[slot, 1]
+            res_r = b_r - (4.0 * red
+                           - _red_neighbor_sum(blk, even)) * inv_h2 \
+                + sigma * red
+            res_r = jnp.where(mask_r & own, res_r, jnp.zeros_like(res_r))
+            part = jnp.sum(res_r * res_r)
+            if not red_only:
+                res_b = b_b - (4.0 * blk
+                               - _black_neighbor_sum(red, even)) * inv_h2 \
+                    + sigma * blk
+                res_b = jnp.where(mask_b & own, res_b,
+                                  jnp.zeros_like(res_b))
+                part = part + jnp.sum(res_b * res_b)
+            acc_ref[0, 0] = acc_ref[0, 0] + part
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+        out_ref[0, 0] = acc_ref[0, 0]
+
+    scratch = [
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.SMEM((1, 1), dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+
+    def call(sigma_arr, u, b):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=(5 if red_only else 10) * n * n, transcendentals=0,
+                bytes_accessed=2 * 2 * r * cp * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, u, b)
+        return out[0, 0]
+
+    return call
+
+
+def residual_norm_sq(s: jax.Array, bs: jax.Array, n: int, h: float, *,
+                     red_only: bool = False, sigma=0.0) -> jax.Array:
+    """||b - (A - sigma I) u||^2 on packed grids without materializing the
+    residual. red_only=True is exact when u just finished an RB-GS sweep."""
+    _, r, cp = s.shape
+    call = _resnorm_call(n, r, cp, float(h), bool(red_only),
+                         jnp.dtype(s.dtype).name)
+    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    return call(sig, s, bs)
+
+
+# ---------------------------------------------------------------------------
 # Fused down leg: smooth^nu1 -> residual -> restrict, one HBM pass.
 # The coarse RHS comes out in the standard *aligned* layout: coarse column
 # J lives at packed lane J (the packing already halved the lanes), so the

@@ -68,6 +68,13 @@ class Backend(NamedTuple):
     #       sigma=) -> x' | None
     smooth_residual_restrict: Callable | None = None
     prolong_add_smooth: Callable | None = None
+    # Optional fused convergence check (None or a callable returning None
+    # to decline): ||b - A x||^2 without materializing the residual.
+    # red_only=True asserts x just finished an RB-GS sweep (whose closing
+    # black half-sweep zeroes the black-point residual exactly), halving
+    # the work.
+    #   residual_norm2(x, b, n, h, red_only=False) -> scalar | None
+    residual_norm2: Callable | None = None
 
 
 JNP_BACKEND = Backend(
@@ -231,7 +238,19 @@ def solve(hier: Hierarchy, b: jax.Array, config: SolverConfig,
     b_norm = _norm(b)
     b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
 
-    r0 = _norm(bk.residual(x, b, n, h)) / b_norm
+    def res_norm(x, red_only=False):
+        if bk.residual_norm2 is not None:
+            v = bk.residual_norm2(x, b, n, h, red_only=red_only)
+            if v is not None:
+                return jnp.sqrt(v)
+        return _norm(bk.residual(x, b, n, h))
+
+    # After a cycle, x ends with the level-0 post-smooth: for RB-GS the
+    # closing black half-sweep zeroes the black residual exactly, so the
+    # convergence check only needs the red plane.
+    post_red = config.smoother == "rbgs" and config.nu2 >= 1
+
+    r0 = res_norm(x) / b_norm
     hist0 = jnp.full((config.max_iters + 1,), r0, dtype=b.dtype)
 
     # Stall guard: when the residual hits the dtype's roundoff floor (fp32
@@ -245,7 +264,7 @@ def solve(hier: Hierarchy, b: jax.Array, config: SolverConfig,
     def body(state):
         x, k, hist, rel, stall = state
         x = cycle(hier, x, b, config)
-        new_rel = _norm(bk.residual(x, b, n, h)) / b_norm
+        new_rel = res_norm(x, red_only=post_red) / b_norm
         stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
         hist = hist.at[k + 1].set(new_rel)
         return x, k + 1, hist, new_rel, stall

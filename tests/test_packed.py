@@ -153,3 +153,25 @@ def test_packed_fmg_and_wcycle(monkeypatch):
         assert int(got.iters) == int(ref.iters), cyc
         np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                    rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.parametrize("k", [6, 8])   # single- and multi-tile
+def test_packed_residual_norm(k):
+    """Fused ||r||^2: full == oracle; red_only exact after an RB-GS sweep
+    (closing black half-sweep zeroes the black residual). k=8 exercises
+    the multi-tile path incl. the overlapped-tail ownership mask."""
+    n = 2 ** k - 1
+    h = 1.0 / (n + 1)
+    u, b = _rand_pair(n, seed=13)
+    sp = packed2d.pack(to_aligned(u))
+    bp = packed2d.pack(to_aligned(b))
+    want = float(jnp.sum(laplacian.residual(u, b, h) ** 2))
+    got = float(packed2d.residual_norm_sq(sp, bp, n, h))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # red_only after one full RB-GS sweep
+    u2 = smoothers.rbgs(u, b, h)
+    sp2 = packed2d.pack(to_aligned(u2))
+    want2 = float(jnp.sum(laplacian.residual(u2, b, h) ** 2))
+    got2 = float(packed2d.residual_norm_sq(sp2, bp, n, h, red_only=True))
+    np.testing.assert_allclose(got2, want2, rtol=1e-10)
