@@ -46,6 +46,16 @@ class SolverConfig:
       agglom_rows: once a level's *local* row count would drop below this,
         the level is agglomerated (replicated on all devices) rather than
         kept sharded — SURVEY.md §3.5 / BASELINE.json config 5.
+      precond_dtype: if set (e.g. ``jnp.bfloat16``), Krylov-wrapped solves
+        (MG-PCG, MG-LOBPCG) run their V-cycle *preconditioner* in this
+        dtype while the outer iteration stays in ``dtype`` — classic
+        mixed-precision iterative refinement. bfloat16 is the TPU-native
+        low precision: it halves the HBM traffic of every smoothing sweep
+        and transfer, and the flexible-CG outer loop (already in place for
+        the nonsymmetric RB-GS cycle) absorbs the rounding, converging to
+        full ``dtype`` accuracy at a near-unchanged iteration count.
+        Ignored by the plain stationary solve (``cycles.solve``), which
+        has no high-precision outer correction to lean on.
     """
 
     ndim: int = 2
@@ -62,6 +72,7 @@ class SolverConfig:
     use_pallas: bool = False
     mesh_axis: str = "row"
     agglom_rows: int = 8
+    precond_dtype: Optional[Any] = None
 
     def __post_init__(self):
         if jnp.dtype(self.dtype) == jnp.float64:
@@ -80,6 +91,13 @@ class SolverConfig:
             raise ValueError(f"unknown smoother {self.smoother!r}")
         if self.cycle not in ("v", "w", "fmg"):
             raise ValueError(f"unknown cycle {self.cycle!r}")
+        if self.precond_dtype is not None:
+            jnp.dtype(self.precond_dtype)   # validate eagerly
+
+    def cycle_dtype(self):
+        """Dtype the inner V-cycle preconditioner runs in."""
+        return jnp.dtype(self.precond_dtype
+                         if self.precond_dtype is not None else self.dtype)
 
     @property
     def n(self) -> int:

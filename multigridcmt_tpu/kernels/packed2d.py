@@ -65,6 +65,25 @@ def max_fused_sweeps() -> int:
     return _HALO // 2
 
 
+def _cdt(dtype):
+    """In-register compute dtype for a storage dtype: float32 for
+    sub-32-bit storage (bfloat16), else the storage dtype itself.
+
+    Mixed-precision rule (config.precond_dtype): bfloat16 lives only in
+    HBM and VMEM — every tile is widened to float32 on read and narrowed
+    on store, so the stencil algebra (including the 1/h^2 = 4^k scaling,
+    catastrophic cancellation territory for bf16's 8-bit mantissa) runs at
+    full f32 accuracy, and Mosaic's missing sub-32-bit sublane rotate is
+    never exercised. HBM traffic — the bottleneck of every kernel here —
+    still halves. Kernels that emit a COARSE-level array emit it in this
+    compute dtype, so in a mixed-precision V-cycle only the finest level
+    (where ~75% of the bytes live) is low-precision and every coarser
+    level runs the ordinary f32 kernels.
+    """
+    dt = jnp.dtype(dtype)
+    return jnp.float32 if dt.itemsize < 4 else dt
+
+
 # ---------------------------------------------------------------------------
 # Host-side layout transforms (once per solve; XLA strided slices).
 # ---------------------------------------------------------------------------
@@ -167,6 +186,7 @@ def _rbgs_call(n: int, r: int, cp: int, h: float, dtype_name: str,
                sweeps: int):
     assert 1 <= sweeps <= max_fused_sweeps()
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
     h2 = h * h
     t, lt, nt = _tile_plan(r)
 
@@ -205,8 +225,8 @@ def _rbgs_call(n: int, r: int, cp: int, h: float, dtype_name: str,
                 cpy.wait()
             oo, ps = offsets(i)
             even, mask_r, mask_b = _masks(n, ps, (lt, cp))
-            red, blk = ubuf[slot, 0], ubuf[slot, 1]
-            b_r, b_b = bbuf[slot, 0], bbuf[slot, 1]
+            red, blk = ubuf[slot, 0].astype(cdt), ubuf[slot, 1].astype(cdt)
+            b_r, b_b = bbuf[slot, 0].astype(cdt), bbuf[slot, 1].astype(cdt)
             for _ in range(sweeps):
                 red, blk = _sweep(red, blk, b_r, b_b, even, mask_r, mask_b,
                                   inv_den, h2)
@@ -219,8 +239,8 @@ def _rbgs_call(n: int, r: int, cp: int, h: float, dtype_name: str,
                     out_sems.at[slot]).wait()
 
             co = pl.multiple_of(oo - ps, 8)
-            obuf[slot, 0, :, :] = red
-            obuf[slot, 1, :, :] = blk
+            obuf[slot, 0, :, :] = red.astype(dtype)
+            obuf[slot, 1, :, :] = blk.astype(dtype)
             pltpu.make_async_copy(
                 obuf.at[slot, :, pl.ds(co, t), :],
                 out_hbm.at[:, pl.ds(oo, t), :], out_sems.at[slot]).start()
@@ -271,7 +291,7 @@ def rbgs_sweep(s: jax.Array, bs: jax.Array, n: int, h: float, *,
     """`sweeps` full RB-GS sweeps on color-packed grids, one HBM pass."""
     _, r, cp = s.shape
     call = _rbgs_call(n, r, cp, float(h), jnp.dtype(s.dtype).name, sweeps)
-    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    sig = jnp.asarray(sigma, dtype=_cdt(s.dtype)).reshape(1, 1)
     return call(sig, s, bs)
 
 
@@ -301,6 +321,7 @@ def _smooth_window(red, blk, b_r, b_b, sigma, even, mask_r, mask_b, h2,
 @functools.lru_cache(maxsize=None)
 def _residual_call(n: int, r: int, cp: int, h: float, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
     inv_h2 = 1.0 / (h * h)
     t, lt, nt = _tile_plan(r)
 
@@ -339,7 +360,8 @@ def _residual_call(n: int, r: int, cp: int, h: float, dtype_name: str):
             oo, ps = offsets(i)
             even, mask_r, mask_b = _masks(n, ps, (lt, cp))
             res_r, res_b = _residual_packed(
-                ubuf[slot, 0], ubuf[slot, 1], bbuf[slot, 0], bbuf[slot, 1],
+                ubuf[slot, 0].astype(cdt), ubuf[slot, 1].astype(cdt),
+                bbuf[slot, 0].astype(cdt), bbuf[slot, 1].astype(cdt),
                 even, mask_r, mask_b, inv_h2, sigma)
 
             @pl.when(i >= 2)
@@ -350,8 +372,8 @@ def _residual_call(n: int, r: int, cp: int, h: float, dtype_name: str):
                     out_sems.at[slot]).wait()
 
             co = pl.multiple_of(oo - ps, 8)
-            obuf[slot, 0, :, :] = res_r
-            obuf[slot, 1, :, :] = res_b
+            obuf[slot, 0, :, :] = res_r.astype(dtype)
+            obuf[slot, 1, :, :] = res_b.astype(dtype)
             pltpu.make_async_copy(
                 obuf.at[slot, :, pl.ds(co, t), :],
                 out_hbm.at[:, pl.ds(oo, t), :], out_sems.at[slot]).start()
@@ -402,7 +424,7 @@ def residual(s: jax.Array, bs: jax.Array, n: int, h: float,
     """Packed r = b - (A - sigma I) u, one HBM pass."""
     _, r, cp = s.shape
     call = _residual_call(n, r, cp, float(h), jnp.dtype(s.dtype).name)
-    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    sig = jnp.asarray(sigma, dtype=_cdt(s.dtype)).reshape(1, 1)
     return call(sig, s, bs)
 
 
@@ -418,13 +440,14 @@ def residual(s: jax.Array, bs: jax.Array, n: int, h: float,
 def _resnorm_call(n: int, r: int, cp: int, h: float, red_only: bool,
                   dtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
     inv_h2 = 1.0 / (h * h)
     t, lt, nt = _tile_plan(r)
 
     def kernel(sigma_ref, u_hbm, b_hbm, out_ref, ubuf, bbuf, acc_ref,
                in_sems):
         sigma = sigma_ref[0, 0]
-        acc_ref[0, 0] = jnp.zeros((), dtype)
+        acc_ref[0, 0] = jnp.zeros((), cdt)
 
         def offsets(i):
             oo = jnp.minimum(i * t, r - t)
@@ -460,8 +483,8 @@ def _resnorm_call(n: int, r: int, cp: int, h: float, red_only: bool,
             # tail tile would double-count without this ownership mask.
             gi = ps + jax.lax.broadcasted_iota(jnp.int32, (lt, cp), 0)
             own = (gi >= i * t) & (gi < (i + 1) * t)
-            red, blk = ubuf[slot, 0], ubuf[slot, 1]
-            b_r, b_b = bbuf[slot, 0], bbuf[slot, 1]
+            red, blk = ubuf[slot, 0].astype(cdt), ubuf[slot, 1].astype(cdt)
+            b_r, b_b = bbuf[slot, 0].astype(cdt), bbuf[slot, 1].astype(cdt)
             res_r = b_r - (4.0 * red
                            - _red_neighbor_sum(blk, even)) * inv_h2 \
                 + sigma * red
@@ -483,14 +506,14 @@ def _resnorm_call(n: int, r: int, cp: int, h: float, red_only: bool,
     scratch = [
         pltpu.VMEM((2, 2, lt, cp), dtype),
         pltpu.VMEM((2, 2, lt, cp), dtype),
-        pltpu.SMEM((1, 1), dtype),
+        pltpu.SMEM((1, 1), cdt),
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
 
     def call(sigma_arr, u, b):
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+            out_shape=jax.ShapeDtypeStruct((1, 1), cdt),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
@@ -514,7 +537,7 @@ def residual_norm_sq(s: jax.Array, bs: jax.Array, n: int, h: float, *,
     _, r, cp = s.shape
     call = _resnorm_call(n, r, cp, float(h), bool(red_only),
                          jnp.dtype(s.dtype).name)
-    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    sig = jnp.asarray(sigma, dtype=_cdt(s.dtype)).reshape(1, 1)
     return call(sig, s, bs)
 
 
@@ -540,6 +563,7 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                h: float, kind: str, omega: float, sweeps: int,
                dtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
     h2 = h * h
     inv_h2 = 1.0 / h2
     assert cc <= cp, (cc, cp)
@@ -554,7 +578,7 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                cbuf, zbuf, in_sems, out_sems, z_sem):
         sigma = sigma_ref[0, 0]
         if zr > 0:
-            zbuf[:, :] = jnp.zeros((zr, cc), dtype)
+            zbuf[:, :] = jnp.zeros((zr, cc), cdt)
             zcp = pltpu.make_async_copy(
                 zbuf, rc_out.at[pl.ds(r // 2, zr), :], z_sem)
             zcp.start()
@@ -589,10 +613,11 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                 cpy.wait()
             oo, ps = offsets(i)
             even, mask_r, mask_b = _masks(n, ps, (lt, cp))
-            b_r, b_b = bbuf[slot, 0], bbuf[slot, 1]
+            b_r, b_b = bbuf[slot, 0].astype(cdt), bbuf[slot, 1].astype(cdt)
             red, blk = _smooth_window(
-                ubuf[slot, 0], ubuf[slot, 1], b_r, b_b, sigma, even,
-                mask_r, mask_b, h2, kind, omega, sweeps)
+                ubuf[slot, 0].astype(cdt), ubuf[slot, 1].astype(cdt),
+                b_r, b_b, sigma, even, mask_r, mask_b, h2, kind, omega,
+                sweeps)
 
             @pl.when(i >= 2)
             def _():
@@ -603,8 +628,8 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                     cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
                     out_sems.at[slot, 1]).wait()
 
-            obuf[slot, 0, :, :] = red
-            obuf[slot, 1, :, :] = blk
+            obuf[slot, 0, :, :] = red.astype(dtype)
+            obuf[slot, 1, :, :] = blk.astype(dtype)
 
             # Full weighting in packed coordinates. Coarse (I, J), fine
             # center (2I, 2J) = red plane lane J; per-window-row combine:
@@ -617,17 +642,22 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                 # equation): after the closing black half-sweep, res_B = 0
                 # and only the red residual needs computing — half the
                 # residual work and all res_B restriction terms vanish.
-                rblk = obuf[slot, 1]
-                res_r = b_r - (4.0 * obuf[slot, 0]
+                # Residual of the STORED (dtype-rounded) planes, so the
+                # coarse correction targets the u' that actually goes up —
+                # in mixed precision the register values differ from the
+                # bf16-rounded store.
+                rred = obuf[slot, 0].astype(cdt)
+                rblk = obuf[slot, 1].astype(cdt)
+                res_r = b_r - (4.0 * rred
                                - _red_neighbor_sum(rblk, even)) * inv_h2 \
-                    + sigma * obuf[slot, 0]
+                    + sigma * rred
                 res_r = jnp.where(mask_r, res_r, jnp.zeros_like(res_r))
                 a = jnp.where(even, 4.0 * res_r,
                               res_r + pltpu.roll(res_r, 1, 1))
             else:
                 res_r, res_b = _residual_packed(
-                    obuf[slot, 0], obuf[slot, 1], b_r, b_b, even, mask_r,
-                    mask_b, inv_h2, sigma)
+                    obuf[slot, 0].astype(cdt), obuf[slot, 1].astype(cdt),
+                    b_r, b_b, even, mask_r, mask_b, inv_h2, sigma)
                 a = jnp.where(
                     even,
                     4.0 * res_r + 2.0 * (res_b + pltpu.roll(res_b, 1, 1)),
@@ -639,18 +669,18 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
             # jc = oo//2 + q) reads window row 2*jc - ps.
             co = oo - ps
             qsel = (_iota2((tc, lt), 1)
-                    == co + 2 * _iota2((tc, lt), 0)).astype(dtype)
+                    == co + 2 * _iota2((tc, lt), 0)).astype(cdt)
             rows_c = jax.lax.dot_general(
                 qsel, comb, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(cdt)
 
             jc0 = pl.multiple_of(oo // 2, 8)
             gjc = jc0 + _iota2((tc, cc), 0)
             gcc = _iota2((tc, cc), 1)
             cmask = (gjc >= 1) & (gjc <= nc) & (gcc >= 1) & (gcc <= nc)
             cbuf[slot, :, :] = jnp.where(cmask, rows_c[:, :cc],
-                                         jnp.zeros((tc, cc), dtype))
+                                         jnp.zeros((tc, cc), cdt))
 
             pltpu.make_async_copy(
                 obuf.at[slot, :, pl.ds(pl.multiple_of(co, 8), t), :],
@@ -682,8 +712,8 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
         pltpu.VMEM((2, 2, lt, cp), dtype),    # ubuf
         pltpu.VMEM((2, 2, lt, cp), dtype),    # bbuf
         pltpu.VMEM((2, 2, lt, cp), dtype),    # obuf (smoothed planes)
-        pltpu.VMEM((2, tc, cc), dtype),       # cbuf (coarse rows)
-        pltpu.VMEM((max(zr, 8), cc), dtype),  # zbuf
+        pltpu.VMEM((2, tc, cc), cdt),         # cbuf (coarse rows, cdt!)
+        pltpu.VMEM((max(zr, 8), cc), cdt),    # zbuf
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA,
@@ -693,7 +723,7 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
         return pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((2, r, cp), dtype),
-                       jax.ShapeDtypeStruct((rc, cc), dtype)),
+                       jax.ShapeDtypeStruct((rc, cc), cdt)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
@@ -728,7 +758,7 @@ def smooth_residual_restrict(s: jax.Array, bs: jax.Array, n: int, h: float,
     rc, cc = aligned_shape(nc)
     call = _down_call(n, nc, r, cp, rc, cc, float(h), kind, float(omega),
                       sweeps, jnp.dtype(s.dtype).name)
-    sig = jnp.asarray(sigma, dtype=s.dtype).reshape(1, 1)
+    sig = jnp.asarray(sigma, dtype=_cdt(s.dtype)).reshape(1, 1)
     return call(sig, s, bs)
 
 
@@ -751,8 +781,11 @@ def max_up_sweeps(kind: str) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
-             kind: str, omega: float, sweeps: int, dtype_name: str):
+             kind: str, omega: float, sweeps: int, dtype_name: str,
+             edtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    edt = jnp.dtype(edtype_name)     # coarse correction dtype (cdt in a
+    cdt = _cdt(dtype)                # mixed-precision cycle)
     h2 = h * h
     assert cc <= cp, (cc, cp)
     t = min(_T_UP, r)
@@ -809,14 +842,14 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
             rsel = (jnp.where(feven & (2 * jq == f), 1.0, 0.0)
                     + jnp.where((~feven) & ((2 * jq == f - 1)
                                             | (2 * jq == f + 1)), 0.5, 0.0)
-                    ).astype(dtype)
+                    ).astype(cdt)
             g = jax.lax.dot_general(
-                rsel, ebuf[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+                rsel, ebuf[slot].astype(cdt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(cdt)
             if cc < cp:
                 gbuf[:, :cc] = g
-                gbuf[:, cc:] = jnp.zeros((ltf, cp - cc), dtype)
+                gbuf[:, cc:] = jnp.zeros((ltf, cp - cc), cdt)
             else:
                 gbuf[:, :] = g
             gw = gbuf[:, :]
@@ -824,13 +857,14 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
             half = 0.5 * (gw + gr)
 
             even, mask_r, mask_b = _masks(n, pf, (ltf, cp))
-            red = xbuf[slot, 0]
-            blk = xbuf[slot, 1]
+            red = xbuf[slot, 0].astype(cdt)
+            blk = xbuf[slot, 1].astype(cdt)
             red = jnp.where(mask_r, red + jnp.where(even, gw, half), red)
             blk = jnp.where(mask_b, blk + jnp.where(even, half, gw), blk)
 
             red, blk = _smooth_window(
-                red, blk, bbuf[slot, 0], bbuf[slot, 1], sigma, even,
+                red, blk, bbuf[slot, 0].astype(cdt),
+                bbuf[slot, 1].astype(cdt), sigma, even,
                 mask_r, mask_b, h2, kind, omega, sweeps)
 
             @pl.when(i >= 2)
@@ -839,8 +873,8 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
                     obuf.at[slot, :, pl.ds(0, t), :],
                     out_hbm.at[:, pl.ds(0, t), :], out_sems.at[slot]).wait()
 
-            obuf[slot, 0, :, :] = red
-            obuf[slot, 1, :, :] = blk
+            obuf[slot, 0, :, :] = red.astype(dtype)
+            obuf[slot, 1, :, :] = blk.astype(dtype)
             pltpu.make_async_copy(
                 obuf.at[slot, :, pl.ds(pl.multiple_of(oo - pf, 8), t), :],
                 out_hbm.at[:, pl.ds(oo, t), :], out_sems.at[slot]).start()
@@ -862,8 +896,8 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
     scratch = [
         pltpu.VMEM((2, 2, ltf, cp), dtype),   # xbuf
         pltpu.VMEM((2, 2, ltf, cp), dtype),   # bbuf
-        pltpu.VMEM((2, ltc, cc), dtype),      # ebuf
-        pltpu.VMEM((ltf, cp), dtype),         # gbuf (interpolated rows)
+        pltpu.VMEM((2, ltc, cc), edt),        # ebuf (coarse dtype)
+        pltpu.VMEM((ltf, cp), cdt),           # gbuf (interpolated rows)
         pltpu.VMEM((2, 2, ltf, cp), dtype),   # obuf
         pltpu.SemaphoreType.DMA((2, 3)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -899,6 +933,7 @@ def prolong_add_smooth(x: jax.Array, e: jax.Array, b: jax.Array, n: int,
     _, r, cp = x.shape
     rc, cc = e.shape
     call = _up_call(n, nc, r, cp, rc, cc, float(h), kind, float(omega),
-                    sweeps, jnp.dtype(x.dtype).name)
-    sig = jnp.asarray(sigma, dtype=x.dtype).reshape(1, 1)
+                    sweeps, jnp.dtype(x.dtype).name,
+                    jnp.dtype(e.dtype).name)
+    sig = jnp.asarray(sigma, dtype=_cdt(x.dtype)).reshape(1, 1)
     return call(sig, x, e, b)

@@ -118,8 +118,25 @@ def solve_pcg(hier: Hierarchy, b: jax.Array, config: SolverConfig,
         # A p = -(b' - A p) with b' = 0; reuses the backend residual kernel.
         return -bk.residual(p, zeros, n, h)
 
-    def precond(r):
-        return cycles.cycle(hier, jnp.zeros_like(r), r, config)
+    pd = config.cycle_dtype()
+    if pd == jnp.dtype(config.dtype):
+        def precond(r):
+            return cycles.cycle(hier, jnp.zeros_like(r), r, config)
+    else:
+        # Mixed precision: the inner V-cycle runs in `precond_dtype`
+        # (bfloat16 on TPU — half the HBM bytes on the fine level, where
+        # ~75% of a cycle's traffic lives). Cast at the preconditioner
+        # boundary only; the outer CG recurrence and all dot products stay
+        # in config.dtype, so the solve converges to full-dtype accuracy
+        # (flexible CG tolerates the inexact M^-1). The Pallas packed
+        # kernels keep f32 compute registers and emit COARSE arrays in
+        # f32 (kernels/packed2d._cdt), so coarser levels and the coarsest
+        # dense solve run at full precision automatically — low precision
+        # only ever touches the fine level's storage.
+        def precond(r):
+            rp = r.astype(pd)
+            z = cycles.cycle(hier, jnp.zeros_like(rp), rp, config)
+            return z.astype(r.dtype)
 
     x, iters, hist, rel = cg_loop(
         x, b, dot=_dot, apply_a=apply_a, precond=precond,
