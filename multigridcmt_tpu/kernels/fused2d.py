@@ -198,7 +198,7 @@ def _down_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
                     == co + 2 * _iota2((tc, lt), 0)).astype(dtype)
             rows_c = jax.lax.dot_general(
                 qsel, tvals, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=dtype,
                 precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
             scol = (0.25 * pltpu.roll(rows_c, 1, 1) + 0.5 * rows_c
@@ -216,7 +216,7 @@ def _down_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
                 sel = esel[:w, : w // 2]
                 ext = jax.lax.dot_general(
                     seg, sel, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=dtype,
                     precision=jax.lax.Precision.HIGHEST).astype(dtype)
                 gcc = blk * 128 + _iota2((tc, w // 2), 1)
                 cmask = ((gjc[:, : w // 2] >= 1) & (gjc[:, : w // 2] <= nc)
@@ -383,7 +383,7 @@ def _up_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
                     ).astype(dtype)
             rows_f = jax.lax.dot_general(
                 rsel, ebuf[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=dtype,
                 precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
             # Column interpolation, 128 coarse -> 256 fine lanes per block
@@ -407,11 +407,11 @@ def _up_call(n: int, nc: int, r: int, c: int, rc: int, cc: int, h: float,
                 segs = cs[:, blk * 128:(blk + 1) * 128]
                 pe = (jax.lax.dot_general(
                           seg, m1, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32,
+                          preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST)
                       + jax.lax.dot_general(
                           segs, m2, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32,
+                          preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST))
                 rbuf[:, lo:lo + wdt] = pe[:, :wdt].astype(dtype)
             w = jnp.where(interior, w + rbuf[:, :], w)

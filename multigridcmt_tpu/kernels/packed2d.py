@@ -672,8 +672,8 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                     == co + 2 * _iota2((tc, lt), 0)).astype(cdt)
             rows_c = jax.lax.dot_general(
                 qsel, comb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).astype(cdt)
+                preferred_element_type=cdt,
+                precision=jax.lax.Precision.HIGHEST)
 
             jc0 = pl.multiple_of(oo // 2, 8)
             gjc = jc0 + _iota2((tc, cc), 0)
@@ -845,8 +845,8 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
                     ).astype(cdt)
             g = jax.lax.dot_general(
                 rsel, ebuf[slot].astype(cdt), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).astype(cdt)
+                preferred_element_type=cdt,
+                precision=jax.lax.Precision.HIGHEST)
             if cc < cp:
                 gbuf[:, :cc] = g
                 gbuf[:, cc:] = jnp.zeros((ltf, cp - cc), cdt)

@@ -112,11 +112,11 @@ def _prolong_add_call(n: int, nc: int, r: int, c: int, rc: int, cc: int,
                 segs = cs[:, blk * 128:(blk + 1) * 128]
                 pc = (jax.lax.dot_general(
                           seg, m1, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32,
+                          preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST)
                       + jax.lax.dot_general(
                           segs, m2, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32,
+                          preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST))
                 lo = blk * 256
                 w = min(256, c - lo)
@@ -135,7 +135,7 @@ def _prolong_add_call(n: int, nc: int, r: int, c: int, rc: int, cc: int,
                              ).astype(dtype))
             fbuf[:, :] = jax.lax.dot_general(
                 rsel, pbuf[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
             # Slice the core rows via a ref read (dynamic value slicing is
@@ -282,7 +282,7 @@ def _residual_restrict_call(n: int, nc: int, r: int, c: int, rc: int,
                     == co + 2 * _iota2((tc, lt), 0)).astype(dtype)
             rows_c = jax.lax.dot_general(
                 qsel, tvals, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
             # Column full-weighting, then even-lane extraction per
@@ -307,7 +307,7 @@ def _residual_restrict_call(n: int, nc: int, r: int, c: int, rc: int,
                 sel = esel[:w, : w // 2]
                 ext = jax.lax.dot_general(
                     seg, sel, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST).astype(dtype)
                 # Coarse-lane block [blk*128, blk*128 + w//2).
                 gcc = blk * 128 + _iota2((tc, w // 2), 1)
