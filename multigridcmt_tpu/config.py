@@ -47,15 +47,20 @@ class SolverConfig:
         the level is agglomerated (replicated on all devices) rather than
         kept sharded — SURVEY.md §3.5 / BASELINE.json config 5.
       precond_dtype: if set (e.g. ``jnp.bfloat16``), Krylov-wrapped solves
-        (MG-PCG, MG-LOBPCG) run their V-cycle *preconditioner* in this
-        dtype while the outer iteration stays in ``dtype`` — classic
-        mixed-precision iterative refinement. bfloat16 is the TPU-native
-        low precision: it halves the HBM traffic of every smoothing sweep
-        and transfer, and the flexible-CG outer loop (already in place for
-        the nonsymmetric RB-GS cycle) absorbs the rounding, converging to
-        full ``dtype`` accuracy at a near-unchanged iteration count.
-        Ignored by the plain stationary solve (``cycles.solve``), which
-        has no high-precision outer correction to lean on.
+        (MG-PCG via ``solvers.krylov``, MG-LOBPCG via ``solvers.eigen``)
+        run their V-cycle *preconditioner* in this dtype while the outer
+        iteration stays in ``dtype`` — classic mixed-precision iterative
+        refinement. bfloat16 is the TPU-native low precision: it halves
+        the fine level's HBM traffic, and the flexible outer loop (already
+        in place for the nonsymmetric RB-GS cycle) absorbs the rounding,
+        converging to full ``dtype`` accuracy at a near-unchanged
+        iteration count. Honored ONLY where the cycle runs on kernels
+        adapted for sub-32-bit storage — the color-packed 2D Pallas tier
+        (``ndim == 2``, ``use_pallas``, fine ``n >= kernels.PACK_MIN_N``);
+        everywhere else the cast is skipped and the preconditioner runs in
+        full ``dtype`` (see ``solvers.krylov.mixed_cycle_dtype``). Ignored
+        by the plain stationary solve (``cycles.solve``), which has no
+        high-precision outer correction to lean on.
     """
 
     ndim: int = 2

@@ -70,20 +70,6 @@ class Hierarchy:
         return cls(ndim=ndim, levels=levels, coarse_inv=coarse_inv,
                    coarse_dense=coarse_dense)
 
-    def astype(self, dtype) -> "Hierarchy":
-        """Hierarchy with its device arrays cast to `dtype`.
-
-        Used by the mixed-precision paths (`precond_dtype`): the V-cycle
-        preconditioner runs wholly in a low precision (bfloat16 on TPU),
-        which needs the coarsest dense inverse in that dtype so the
-        coarse-solve matmul stays low-precision too. Level specs are
-        static metadata and shared.
-        """
-        dt = jnp.dtype(dtype)
-        return Hierarchy(ndim=self.ndim, levels=self.levels,
-                         coarse_inv=self.coarse_inv.astype(dt),
-                         coarse_dense=self.coarse_dense.astype(dt))
-
     @property
     def num_levels(self) -> int:
         return len(self.levels)

@@ -74,7 +74,7 @@ def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
                 u, b, sweeps, diag,
                 lambda uu, bb: packed2d.residual(uu, bb, n, h, sigma=sigma))
         # jacobi: residual kernel + XLA-fused axpy per sweep.
-        scale = omega / (4.0 / (h * h) - sigma)
+        scale = omega / laplacian.diag_value(2, h, sigma)
         for _ in range(sweeps):
             u = u + scale * packed2d.residual(u, b, n, h, sigma=sigma)
         return u

@@ -106,12 +106,18 @@ def coarse_solve(hier: Hierarchy, b: jax.Array, sigma=0.0,
     """
     nc = hier.coarsest.n
     r = interior(backend.decode(b, nc)).reshape(-1)
+    # The dense operator/inverse live in config.dtype; solve at that full
+    # precision but hand the result back in the cycle's dtype — in a
+    # mixed-precision cycle the coarse arrays are f32 and must not creep
+    # up to f64 on the way back through the Pallas up-leg kernels.
     if laplacian._is_zero(sigma):
-        x = hier.coarse_inv @ r
+        x = (hier.coarse_inv @ r.astype(hier.coarse_inv.dtype)
+             ).astype(r.dtype)
     else:
-        a = hier.coarse_dense - jnp.asarray(sigma, dtype=r.dtype) * jnp.eye(
-            hier.coarse_dense.shape[0], dtype=r.dtype)
-        x = jnp.linalg.solve(a, r)
+        cd = hier.coarse_dense
+        a = cd - jnp.asarray(sigma, dtype=cd.dtype) * jnp.eye(
+            cd.shape[0], dtype=cd.dtype)
+        x = jnp.linalg.solve(a, r.astype(cd.dtype)).astype(r.dtype)
     shape = (nc,) * hier.ndim
     return backend.encode(pad_interior(x.reshape(shape)))
 

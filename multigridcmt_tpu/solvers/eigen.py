@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import SolverConfig
 from ..grids import Hierarchy, interior, pad_interior
 from ..ops import laplacian, transfer
-from . import cycles
+from . import cycles, krylov
 
 
 class EigenResult(NamedTuple):
@@ -262,16 +262,25 @@ def lobpcg(hier: Hierarchy, config: SolverConfig, k: int = 1,
         """(m, N) interior-flattened block -> A applied row-wise."""
         return _flat(apply_v(_unflat(f, n, ndim)), ndim)
 
+    # Mixed precision (config.precond_dtype): cast at the preconditioner
+    # boundary only, exactly as in krylov.solve_pcg — LOBPCG re-projects
+    # on the true operator A at every Rayleigh-Ritz step, so an inexact
+    # (low-precision) T only perturbs the search direction, not the
+    # converged eigenpair. None outside the packed-Pallas regime.
+    pd = krylov.mixed_cycle_dtype(config)
+
     def tcycle(r_flat):
         """Preconditioner: precond_cycles V-cycles from a zero guess."""
         rp = _unflat(r_flat, n, ndim)
 
         def one(rhs):
             rhs_e = bk.encode(rhs)
+            if pd is not None:
+                rhs_e = rhs_e.astype(pd)
             w = jnp.zeros_like(rhs_e)
             for _ in range(precond_cycles):
                 w = cycles.v_cycle(hier, w, rhs_e, config)
-            return bk.decode(w, n)
+            return bk.decode(w, n).astype(r_flat.dtype)
 
         return _flat(jax.vmap(one)(rp), ndim)
 

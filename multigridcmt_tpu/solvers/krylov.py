@@ -41,6 +41,31 @@ def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b)
 
 
+def mixed_cycle_dtype(config: SolverConfig):
+    """Dtype the V-cycle preconditioner should be cast to, or None.
+
+    ``config.precond_dtype`` is honored only where the cycle runs on
+    kernels adapted for sub-32-bit storage: the color-packed 2D Pallas
+    tier (``kernels/packed2d.py``), whose tiles are widened to float32 in
+    registers (`_cdt`) and which emits coarse-level arrays in the compute
+    dtype, so low precision only ever touches the fine level's HBM
+    traffic. Everywhere else — jnp stencils, the aligned fused2d /
+    stencil2d kernels, 1D/3D problems — raw bfloat16 stencil algebra at
+    1/h^2 ~ 4^k scale is catastrophic cancellation (or an outright Mosaic
+    compile failure: no sub-32-bit sublane rotate), so the cast is
+    skipped and the preconditioner runs in full ``config.dtype``.
+    """
+    pd = config.cycle_dtype()
+    if pd == jnp.dtype(config.dtype):
+        return None
+    from .. import kernels  # deferred: kernels imports solvers.cycles
+
+    if (config.ndim == 2 and config.use_pallas
+            and config.n >= kernels.PACK_MIN_N):
+        return pd
+    return None
+
+
 def cg_loop(x, b, *, dot, apply_a, precond, residual, tol, max_iters):
     """Flexible (Polak-Ribiere) preconditioned-CG iteration driver.
 
@@ -118,8 +143,8 @@ def solve_pcg(hier: Hierarchy, b: jax.Array, config: SolverConfig,
         # A p = -(b' - A p) with b' = 0; reuses the backend residual kernel.
         return -bk.residual(p, zeros, n, h)
 
-    pd = config.cycle_dtype()
-    if pd == jnp.dtype(config.dtype):
+    pd = mixed_cycle_dtype(config)
+    if pd is None:
         def precond(r):
             return cycles.cycle(hier, jnp.zeros_like(r), r, config)
     else:
