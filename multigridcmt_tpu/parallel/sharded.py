@@ -515,6 +515,34 @@ def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
 # Host-side driver
 # ---------------------------------------------------------------------------
 
+def _to_global(host_array, sharding: NamedSharding) -> jax.Array:
+    """Process-safe ``device_put``: build a global sharded array from a
+    host array that every process holds in full (SPMD replicated input).
+
+    ``jax.make_array_from_callback`` asks each process for the data of its
+    *addressable* shards only, so this works identically under the
+    single-controller runtime here and under true multi-process
+    ``jax.distributed`` (where a global ``device_put`` would throw on
+    non-addressable devices — VERDICT.md round-2 item 3)."""
+    arr = np.asarray(host_array)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _to_host(x: jax.Array) -> np.ndarray:
+    """Process-safe ``device_get`` of a global sharded array.
+
+    Fully-addressable arrays (single-process runs) fetch directly;
+    otherwise the value is assembled by an across-process allgather
+    (every host ends up with the full array, matching the single-process
+    contract of ``unshard``)."""
+    if x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def shard_rhs(b_padded: jax.Array, mesh: Mesh,
               decomp: Optional[Decomp] = None):
     """Global padded RHS -> device-sharded owned tiles.
@@ -522,23 +550,25 @@ def shard_rhs(b_padded: jax.Array, mesh: Mesh,
     Along each sharded axis the near ghost (index 0) is dropped; entries
     1..n+1 are laid out contiguously over the mesh so each device holds
     its m owned entries. Unsharded axes keep the full padded extent.
+    ``b_padded`` is host data every process holds in full.
     """
     if decomp is None:
         decomp = decomp_from_mesh(mesh, b_padded.ndim)
     sl = tuple(slice(1, None) if decomp.info(a) is not None else slice(None)
                for a in range(b_padded.ndim))
-    return jax.device_put(b_padded[sl], NamedSharding(mesh, decomp.spec()))
+    return _to_global(np.asarray(b_padded)[sl],
+                      NamedSharding(mesh, decomp.spec()))
 
 
 def unshard(x_tiles: jax.Array, decomp: Optional[Decomp] = None):
     """Sharded owned tiles -> global padded array (re-adds near ghosts)."""
-    x = jax.device_get(x_tiles)
+    x = _to_host(x_tiles)
     if decomp is None:         # legacy row layout: first axis sharded
         pads = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
     else:
         pads = [(1, 0) if decomp.info(a) is not None else (0, 0)
                 for a in range(x.ndim)]
-    return jnp.pad(x, pads)
+    return jnp.pad(jnp.asarray(x), pads)
 
 
 class ShardedSolver:
@@ -565,6 +595,12 @@ class ShardedSolver:
             if (2 ** config.k) % nd != 0:
                 raise ValueError(f"2^k must be divisible by the mesh size "
                                  f"along {ma!r} ({nd})")
+        if not _is_sharded(config, self.decomp, 0):
+            raise ValueError(
+                f"fine level would be agglomerated: local tile of "
+                f"{_level_rows(config.k, 0)} rows over the mesh is below "
+                f"agglom_rows={config.agglom_rows}; raise k, shrink the "
+                f"mesh, or lower agglom_rows")
         self.hierarchy = (hierarchy if hierarchy is not None
                           else build_hierarchy(config))
         self._solve = self._build_solve()
@@ -832,13 +868,13 @@ class ShardedSolver:
         sl = (slice(None),) + tuple(
             slice(1, None) if decomp.info(a) is not None else slice(None)
             for a in range(cfg.ndim))
-        v0_sh = jax.device_put(
-            jnp.asarray(v0)[sl],
+        v0_sh = _to_global(
+            np.asarray(v0)[sl],
             NamedSharding(self.mesh, decomp.spec(leading_none=1)))
         v, lam, iters, hist, conv = fn(v0_sh)
         pads = [(0, 0)] + [(1, 0) if decomp.info(a) is not None else (0, 0)
                            for a in range(cfg.ndim)]
-        v_full = np.pad(np.asarray(jax.device_get(v)), pads)
+        v_full = np.pad(_to_host(v), pads)
         return seigen.EigenResult(
             eigenvalues=lam, eigenvectors=jnp.asarray(v_full), iters=iters,
             res_history=hist, converged=conv)
@@ -994,13 +1030,13 @@ class ShardedSolver:
         sl = (slice(None),) + tuple(
             slice(1, None) if decomp.info(a) is not None else slice(None)
             for a in range(cfg.ndim))
-        v0_sh = jax.device_put(
-            jnp.asarray(v0)[sl],
+        v0_sh = _to_global(
+            np.asarray(v0)[sl],
             NamedSharding(self.mesh, decomp.spec(leading_none=1)))
         v, lam, iters, hist, conv = fn(v0_sh)
         pads = [(0, 0)] + [(1, 0) if decomp.info(a) is not None else (0, 0)
                            for a in range(cfg.ndim)]
-        v_full = np.pad(np.asarray(jax.device_get(v)), pads)
+        v_full = np.pad(_to_host(v), pads)
         return seigen.EigenResult(
             eigenvalues=lam, eigenvectors=jnp.asarray(v_full), iters=iters,
             res_history=hist, converged=conv)
