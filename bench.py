@@ -86,7 +86,12 @@ def bench_tpu():
 
         return jnp.sum(jax.lax.fori_loop(0, m, body, jnp.zeros_like(b)))
 
-    sweep_s = _marginal(lambda m: float(sweeps_m(b, m)), k1=2, k2=22)
+    # Wide trip-count spread + extra reps: with k2-k1=20 a single ~2 ms
+    # dispatch-noise tail in tmin(k1) swamps the ~110 us/sweep marginal
+    # (one run measured a nonsense 10 us/sweep); 40 sweeps of spread and
+    # min-over-6 keeps the estimate stable through the tunnel.
+    sweep_s = _marginal(lambda m: float(sweeps_m(b, m)), k1=2, k2=42,
+                        reps=6)
     nbytes = b.size * 4
     gbps = 3 * nbytes / sweep_s / 1e9
     nnz_per_s = 2 * 5 * n * n / sweep_s

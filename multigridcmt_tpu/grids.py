@@ -147,6 +147,31 @@ def from_aligned(ua: jax.Array, n: int) -> jax.Array:
     return ua[: n + 2, : n + 2]
 
 
+def aligned3_shape(n: int) -> Tuple[int, int, int]:
+    """TPU-native physical shape for a 3D padded grid of logical size n.
+
+    Only the trailing two dims carry Mosaic tiling constraints (sublane /
+    lane); the leading *plane* dim is a plain array dim with no alignment
+    requirement, so the 3D layout is ``(n+2, round_up(n+2, 8),
+    round_up(n+2, 128))`` — each z-plane is a 2D-aligned grid, streamed
+    plane-by-plane by kernels/stencil3d.py. Zero pad region as in 2D.
+    """
+    p = n + 2
+    return (p, -(-p // 8) * 8, -(-p // 128) * 128)
+
+
+def to_aligned3(u: jax.Array) -> jax.Array:
+    """Embed a (n+2,)*3 padded grid into its aligned physical layout."""
+    p = u.shape[0]
+    _, r, c = aligned3_shape(p - 2)
+    return jnp.pad(u, ((0, 0), (0, r - p), (0, c - p)))
+
+
+def from_aligned3(ua: jax.Array, n: int) -> jax.Array:
+    """Extract the (n+2,)*3 logical padded grid from an aligned3 array."""
+    return ua[:, : n + 2, : n + 2]
+
+
 def interior_coords_1d(n: int, dtype=jnp.float64) -> jax.Array:
     """x-coordinates of the n interior points of the unit interval."""
     h = 1.0 / (n + 1)

@@ -44,9 +44,18 @@ def _pack_level(n: int) -> bool:
     return n >= PACK_MIN_N
 
 
+def _is_packed(u: jax.Array) -> bool:
+    """Color-packed 2D layout: (2, r, c/2) red/black planes.
+
+    Rank alone is NOT enough — a logical 3D padded grid is also rank 3.
+    The leading extent disambiguates: packed arrays always have 2 planes,
+    while a 3D grid's leading extent is n + 2 >= 5 (min_coarse >= 3)."""
+    return u.ndim == 3 and u.shape[0] == 2
+
+
 def _as_aligned_coarse(e: jax.Array, nc: int) -> jax.Array:
     """Coarse array in aligned layout regardless of its current layout."""
-    if e.ndim == 3:
+    if _is_packed(e):
         return packed2d.unpack(e, aligned_shape(nc)[1])
     return e
 
@@ -60,7 +69,7 @@ def _coarse_layout(rc: jax.Array, nc: int) -> jax.Array:
 
 def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
             omega: float, sweeps: int, sigma=0.0) -> jax.Array:
-    if u.ndim == 3:                      # color-packed level
+    if _is_packed(u):                      # color-packed level
         if kind == "rbgs":
             max_fused = packed2d.max_fused_sweeps()
             while sweeps > 0:
@@ -111,7 +120,7 @@ def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
 
 def _residual(u: jax.Array, b: jax.Array, n: int, h: float,
               sigma=0.0) -> jax.Array:
-    if u.ndim == 3:
+    if _is_packed(u):
         return packed2d.residual(u, b, n, h, sigma=sigma)
     if u.ndim != 2:
         return laplacian.residual(u, b, h, sigma=sigma)
@@ -122,7 +131,7 @@ def _residual(u: jax.Array, b: jax.Array, n: int, h: float,
 
 def _restrict(r: jax.Array, n: int) -> jax.Array:
     nc = (n - 1) // 2
-    if r.ndim == 3:
+    if _is_packed(r):
         # restrict(r) == the coarse output of the fused down leg with zero
         # sweeps applied to (u=0, b=r): residual(0, r) = r.
         _, rc = packed2d.smooth_residual_restrict(
@@ -136,7 +145,7 @@ def _restrict(r: jax.Array, n: int) -> jax.Array:
 
 def _prolong(e: jax.Array, nc: int) -> jax.Array:
     n = 2 * nc + 1
-    if e.ndim != 2 and e.ndim != 3:
+    if e.ndim != 2 and not _is_packed(e):
         return transfer.prolong(e)
     ea = _as_aligned_coarse(e, nc)
     if _pack_level(n):
@@ -155,7 +164,7 @@ def _encode(u: jax.Array) -> jax.Array:
 
 
 def _decode(u: jax.Array, n: int) -> jax.Array:
-    if u.ndim == 3:
+    if _is_packed(u):
         return from_aligned(packed2d.unpack(u, aligned_shape(n)[1]), n)
     return from_aligned(u, n) if u.ndim == 2 else u
 
@@ -163,7 +172,7 @@ def _decode(u: jax.Array, n: int) -> jax.Array:
 def _residual_restrict(u: jax.Array, b: jax.Array, n: int,
                        h: float) -> jax.Array:
     nc = (n - 1) // 2
-    if u.ndim == 3:
+    if _is_packed(u):
         _, rc = packed2d.smooth_residual_restrict(
             u, b, n, h, kind="rbgs", omega=1.0, sweeps=0)
         return _coarse_layout(rc, nc)
@@ -176,7 +185,7 @@ def _residual_restrict(u: jax.Array, b: jax.Array, n: int,
 
 
 def _prolong_add(x: jax.Array, e: jax.Array, n: int, nc: int) -> jax.Array:
-    if x.ndim == 3:
+    if _is_packed(x):
         return packed2d.prolong_add_smooth(
             x, _as_aligned_coarse(e, nc), jnp.zeros_like(x), n, nc, h=1.0,
             kind="rbgs", omega=1.0, sweeps=0)
@@ -192,7 +201,7 @@ def _smooth_residual_restrict(u, b, n, h, *, kind, omega, sweeps,
     """Whole-down-leg fusion; None declines to the composed path (1D,
     small levels, or more sweeps than one kernel's halo supports)."""
     nc = (n - 1) // 2
-    if u.ndim == 3:
+    if _is_packed(u):
         if (kind not in ("jacobi", "rbgs")
                 or sweeps > packed2d.max_down_sweeps(kind)):
             return None
@@ -209,7 +218,7 @@ def _smooth_residual_restrict(u, b, n, h, *, kind, omega, sweeps,
 
 def _prolong_add_smooth(x, e, b, n, nc, h, *, kind, omega, sweeps,
                         sigma=0.0):
-    if x.ndim == 3:
+    if _is_packed(x):
         if (kind not in ("jacobi", "rbgs")
                 or sweeps > packed2d.max_up_sweeps(kind)):
             return None
@@ -226,7 +235,7 @@ def _prolong_add_smooth(x, e, b, n, nc, h, *, kind, omega, sweeps,
 
 def _residual_norm2(x, b, n, h, red_only=False):
     """Fused convergence check on packed levels; None declines elsewhere."""
-    if x.ndim != 3:
+    if not _is_packed(x):
         return None
     return packed2d.residual_norm_sq(x, b, n, h, red_only=red_only)
 

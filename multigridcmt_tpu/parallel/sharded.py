@@ -626,24 +626,23 @@ class ShardedSolver:
                 s_residual(x, b, n, h, decomp), decomp)) / b_norm
             hist0 = jnp.full((cfg.max_iters + 1,), r0, dtype=b.dtype)
 
-            # Stall guard, as in cycles.solve: exit after 3 non-improving
-            # cycles (fp32 roundoff floor) instead of spinning to max_iters.
+            # Stall + divergence guards, as in cycles.solve.
             def cond(st):
-                _, k_it, _, rel, stall = st
+                _, k_it, _, rel, stall, div = st
                 return ((rel >= cfg.tol) & (k_it < cfg.max_iters)
-                        & (stall < 3))
+                        & cycles.guards_ok(stall, div))
 
             def body(st):
-                x, k_it, hist, rel, stall = st
+                x, k_it, hist, rel, stall, div = st
                 x = _sharded_v_cycle(hier, cfg, decomp, x, b, 0, gamma)
                 new_rel = jnp.sqrt(_psum_sq(
                     s_residual(x, b, n, h, decomp), decomp)) / b_norm
-                stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
+                stall, div = cycles.step_guards(new_rel, rel, stall, div)
                 hist = hist.at[k_it + 1].set(new_rel)
-                return x, k_it + 1, hist, new_rel, stall
+                return x, k_it + 1, hist, new_rel, stall, div
 
-            x, iters, hist, rel, _ = jax.lax.while_loop(
-                cond, body, (x, 0, hist0, r0, 0))
+            x, iters, hist, rel, _, _ = jax.lax.while_loop(
+                cond, body, (x, 0, hist0, r0, 0, 0))
             idx = jnp.arange(cfg.max_iters + 1)
             hist = jnp.where(idx <= iters, hist, rel)
             return x, iters, hist, rel < cfg.tol
@@ -828,11 +827,12 @@ class ShardedSolver:
             hist0 = jnp.full((max_iters + 1,), res0, dtype=dtype)
 
             def cond(st):
-                _, _, it, _, res = st
-                return (res >= tol) & (it < max_iters)
+                _, _, it, _, res, div = st
+                return ((res >= tol) & (it < max_iters)
+                        & (div < cycles.EIGEN_DIVERGE_TOTAL))
 
             def body(st):
-                v, lam, it, hist, res = st
+                v, lam, it, hist, res, div = st
                 if method == "rqi":
                     # Shift back-off as in solvers.eigen: strictly below
                     # lambda_min keeps every level SPD; drop the shift in
@@ -844,11 +844,12 @@ class ShardedSolver:
                 w = inner_solve(v, sigma)
                 v2, lam2 = ritz(w)
                 lam2b, res2 = rayleigh(v2)
+                div = cycles.eigen_guard(res2, res, div)
                 hist = hist.at[it + 1].set(res2)
-                return v2, lam2b, it + 1, hist, res2
+                return v2, lam2b, it + 1, hist, res2, div
 
-            v, lam, iters, hist, res = jax.lax.while_loop(
-                cond, body, (v, lam0, 0, hist0, res0))
+            v, lam, iters, hist, res, _ = jax.lax.while_loop(
+                cond, body, (v, lam0, 0, hist0, res0, 0))
             idx = jnp.arange(max_iters + 1)
             hist = jnp.where(idx <= iters, hist, res)
             return v, lam, iters, hist, res < tol
@@ -991,11 +992,12 @@ class ShardedSolver:
             hist = hist.at[1].set(res1)
 
             def cond(st):
-                _, _, _, it, _, res = st
-                return (res >= tol) & (it < max_iters)
+                _, _, _, it, _, res, div = st
+                return ((res >= tol) & (it < max_iters)
+                        & (div < cycles.EIGEN_DIVERGE_TOTAL))
 
             def body(st):
-                x, p, lam, it, hist, res = st
+                x, p, lam, it, hist, res, div = st
                 _, r, _ = rq_res(x)
                 salt = it.astype(dtype)
                 w = safe_rownorm(project_out(tcycle(r), x),
@@ -1008,11 +1010,12 @@ class ShardedSolver:
                 xn = safe_rownorm(combine(c, s), 2.0 * salt + 4.0)
                 pn = combine(c[k:, :], s[k:])
                 lam2, _, res2 = rq_res(xn)
+                div = cycles.eigen_guard(res2, res, div)
                 hist = hist.at[it + 1].set(res2)
-                return xn, pn, lam2, it + 1, hist, res2
+                return xn, pn, lam2, it + 1, hist, res2, div
 
-            x, p, lam, iters, hist, res = jax.lax.while_loop(
-                cond, body, (x1, p1, lam1, 1, hist, res1))
+            x, p, lam, iters, hist, res, _ = jax.lax.while_loop(
+                cond, body, (x1, p1, lam1, 1, hist, res1, 0))
             idx = jnp.arange(max_iters + 1)
             hist = jnp.where(idx <= iters, hist, res)
             return x, lam, iters, hist, res < tol

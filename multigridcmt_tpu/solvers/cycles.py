@@ -218,6 +218,47 @@ def _norm(v: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum(v * v))
 
 
+# In-loop failure detection (SURVEY.md §5: "divergence guard on the
+# residual history (abort if rho >= 1)"). Two cheap counters folded into
+# every outer while_loop, so a diverging solve — e.g. a bad eigensolver
+# shift making a level indefinite, or an unstable smoother omega — aborts
+# within a couple of iterations with converged=False instead of spinning
+# to max_iters and returning an overflow/NaN field:
+#   stall: residual not improving (>= 0.9x) — the dtype roundoff floor.
+#   diverge: residual GREW by more than DIVERGE_FACTOR in one iteration,
+#            DIVERGE_PATIENCE times in a row. rho slightly above 1 is
+#            indistinguishable from a stall (and the stall guard gets it);
+#            10x-per-cycle growth twice is unambiguous divergence.
+STALL_PATIENCE = 3
+DIVERGE_FACTOR = 10.0
+DIVERGE_PATIENCE = 2
+
+
+def step_guards(new_rel, rel, stall, div):
+    """Updated (stall, diverge) counters after one outer iteration."""
+    stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
+    div = jnp.where(new_rel > DIVERGE_FACTOR * rel, div + 1, 0)
+    return stall, div
+
+
+def guards_ok(stall, div):
+    return (stall < STALL_PATIENCE) & (div < DIVERGE_PATIENCE)
+
+
+# Eigensolver outers use a CUMULATIVE growth counter instead: a broken
+# shift (indefinite operator) typically makes the eigen-residual
+# *oscillate* — up 10x, down, up again — because the Ritz step
+# renormalizes every iteration, so a consecutive counter never fires.
+# Legitimate runs bump at most once or twice (shift activation), far
+# below this total.
+EIGEN_DIVERGE_TOTAL = 4
+
+
+def eigen_guard(new_res, res, div):
+    """Cumulative count of >DIVERGE_FACTOR eigen-residual growths."""
+    return div + jnp.where(new_res > DIVERGE_FACTOR * res, 1, 0)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def solve(hier: Hierarchy, b: jax.Array, config: SolverConfig,
           x0: jax.Array | None = None) -> SolveResult:
@@ -262,21 +303,23 @@ def solve(hier: Hierarchy, b: jax.Array, config: SolverConfig,
     # Stall guard: when the residual hits the dtype's roundoff floor (fp32
     # stalls near ~1e-4 relative for fine grids — 1/h^2 cancellation), the
     # iteration stops improving; exit after 3 non-improving cycles instead
-    # of spinning to max_iters with rho ~ 1.
+    # of spinning to max_iters with rho ~ 1. Divergence guard: see
+    # step_guards above.
     def cond(state):
-        x, k, hist, rel, stall = state
-        return (rel >= config.tol) & (k < config.max_iters) & (stall < 3)
+        x, k, hist, rel, stall, div = state
+        return ((rel >= config.tol) & (k < config.max_iters)
+                & guards_ok(stall, div))
 
     def body(state):
-        x, k, hist, rel, stall = state
+        x, k, hist, rel, stall, div = state
         x = cycle(hier, x, b, config)
         new_rel = res_norm(x, red_only=post_red) / b_norm
-        stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
+        stall, div = step_guards(new_rel, rel, stall, div)
         hist = hist.at[k + 1].set(new_rel)
-        return x, k + 1, hist, new_rel, stall
+        return x, k + 1, hist, new_rel, stall, div
 
-    x, iters, hist, rel, _ = jax.lax.while_loop(
-        cond, body, (x, 0, hist0, r0, 0))
+    x, iters, hist, rel, _, _ = jax.lax.while_loop(
+        cond, body, (x, 0, hist0, r0, 0, 0))
     # Entries past `iters` were never written; backfill them with the final
     # residual so downstream convergence-factor code can mask cleanly.
     idx = jnp.arange(config.max_iters + 1)

@@ -74,11 +74,11 @@ def coarse_init(hier: Hierarchy, k: int, dtype) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("config", "k", "method", "inner_cycles",
-                                   "max_iters", "inner_tol"))
+                                   "max_iters", "inner_tol", "rqi_backoff"))
 def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
                method: str = "ii", tol: float = 1e-8, max_iters: int = 100,
-               inner_cycles: int = 30,
-               inner_tol: float | None = None) -> EigenResult:
+               inner_cycles: int = 30, inner_tol: float | None = None,
+               rqi_backoff: float = 0.9) -> EigenResult:
     """Find the k smallest eigenpairs of the discrete Laplacian.
 
     method="ii": block inverse iteration — each outer step MG-solves
@@ -171,37 +171,46 @@ def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
     rqi_polish_tol = 1e-5
 
     def cond(state):
-        v, lam, k_it, hist, res = state
-        return (res >= tol) & (k_it < max_iters)
+        v, lam, k_it, hist, res, div = state
+        # Divergence guard (cycles.eigen_guard): a shift that makes a
+        # level indefinite typically makes the eigen-residual OSCILLATE
+        # (the Ritz step renormalizes each iteration), so growths are
+        # counted cumulatively; abort after EIGEN_DIVERGE_TOTAL 10x
+        # growths with converged=False instead of spinning to max_iters.
+        return ((res >= tol) & (k_it < max_iters)
+                & (div < cycles.EIGEN_DIVERGE_TOTAL))
 
     def body(state):
-        v, lam, k_it, hist, res = state
+        v, lam, k_it, hist, res, div = state
         if method == "rqi":
             # Back-off floor: the re-discretized coarse operators see
             # lambda_1 with O(h_coarse^2) error — ~5% on the 3^2 coarsest
             # grid — so a shift closer than that makes a coarse level
             # indefinite and the MG inner solve diverges on that mode.
-            # A 10% relative gap keeps every level SPD. Near convergence
-            # (res below rqi_polish_tol) the shifted inner solves can't
-            # reach inner_tol within the cycle cap (the nearly-null mode
-            # converges slowly), which would floor the eigen-residual at
-            # the inner error — so the endgame drops the shift and lets
-            # plain inverse iteration polish to tol.
+            # A 10% relative gap (rqi_backoff=0.9) keeps every level SPD.
+            # Near convergence (res below rqi_polish_tol) the shifted
+            # inner solves can't reach inner_tol within the cycle cap
+            # (the nearly-null mode converges slowly), which would floor
+            # the eigen-residual at the inner error — so the endgame
+            # drops the shift and lets plain inverse iteration polish
+            # to tol.
             shift_on = (res < rqi_active_tol) & (res > rqi_polish_tol)
-            sigma = jnp.where(shift_on, lam * 0.9, jnp.zeros_like(lam))
+            sigma = jnp.where(shift_on, lam * rqi_backoff,
+                              jnp.zeros_like(lam))
             w = inner_solve(v, sigma)
         else:
             w = inner_solve(v)
         v2, lam2 = ritz(w)
         lam2, res2 = _rayleigh_of(v2)
+        div = cycles.eigen_guard(res2, res, div)
         hist = hist.at[k_it + 1].set(res2)
-        return v2, lam2, k_it + 1, hist, res2
+        return v2, lam2, k_it + 1, hist, res2, div
 
     def _rayleigh_of(vv):
         return rayleigh(vv)
 
-    v, lam, iters, hist, res = jax.lax.while_loop(
-        cond, body, (v, lam0, 0, hist0, res0))
+    v, lam, iters, hist, res, _ = jax.lax.while_loop(
+        cond, body, (v, lam0, 0, hist0, res0, 0))
     idx = jnp.arange(max_iters + 1)
     hist = jnp.where(idx <= iters, hist, res)
     return EigenResult(eigenvalues=lam, eigenvectors=v, iters=iters,
@@ -332,11 +341,12 @@ def lobpcg(hier: Hierarchy, config: SolverConfig, k: int = 1,
 
     # --- main loop: RR on [X, W, P] --------------------------------------
     def cond(st):
-        _, _, _, it, _, res = st
-        return (res >= tol) & (it < max_iters)
+        _, _, _, it, _, res, div = st
+        return ((res >= tol) & (it < max_iters)
+                & (div < cycles.EIGEN_DIVERGE_TOTAL))
 
     def body(st):
-        x, p, lam, it, hist, res = st
+        x, p, lam, it, hist, res, div = st
         _, r, _ = rq_res(x)
         salt = it.astype(dtype)
         w = _safe_rownorm(project_out(tcycle(r), x), 2.0 * salt + 2.0)
@@ -347,11 +357,12 @@ def lobpcg(hier: Hierarchy, config: SolverConfig, k: int = 1,
         xn = _safe_rownorm(c.T @ s, 2.0 * salt + 4.0)
         pn = c[k:, :].T @ s[k:]          # the W+P contribution (Knyazev)
         lam2, _, res2 = rq_res(xn)
+        div = cycles.eigen_guard(res2, res, div)
         hist = hist.at[it + 1].set(res2)
-        return xn, pn, lam2, it + 1, hist, res2
+        return xn, pn, lam2, it + 1, hist, res2, div
 
-    x, p, lam, iters, hist, res = jax.lax.while_loop(
-        cond, body, (x1, p1, lam1, 1, hist, res1))
+    x, p, lam, iters, hist, res, _ = jax.lax.while_loop(
+        cond, body, (x1, p1, lam1, 1, hist, res1, 0))
     idx = jnp.arange(max_iters + 1)
     hist = jnp.where(idx <= iters, hist, res)
     # eigh returns ascending Ritz values; lam is already sorted.

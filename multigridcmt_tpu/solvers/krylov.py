@@ -79,11 +79,11 @@ def cg_loop(x, b, *, dot, apply_a, precond, residual, tol, max_iters):
       residual(x, b) r = b - A x (a fused kernel where available — cheaper
                      than ``b - apply_a(x)``)
 
-    Runs entirely inside one ``lax.while_loop`` with the same stall guard
-    as ``cycles.solve`` (exit after 3 non-improving iterations at the
-    dtype's roundoff floor). Returns ``(x, iters, hist, rel)`` where
-    ``hist`` has static length ``max_iters + 1``, entries past ``iters``
-    backfilled with the final relative residual.
+    Runs entirely inside one ``lax.while_loop`` with the same stall and
+    divergence guards as ``cycles.solve`` (``cycles.step_guards``).
+    Returns ``(x, iters, hist, rel)`` where ``hist`` has static length
+    ``max_iters + 1``, entries past ``iters`` backfilled with the final
+    relative residual.
     """
     b_norm = jnp.sqrt(dot(b, b))
     b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
@@ -96,11 +96,12 @@ def cg_loop(x, b, *, dot, apply_a, precond, residual, tol, max_iters):
     hist0 = jnp.full((max_iters + 1,), rel0, dtype=b.dtype)
 
     def cond(state):
-        x, r, z, p, rz, k, hist, rel, stall = state
-        return (rel >= tol) & (k < max_iters) & (stall < 3)
+        x, r, z, p, rz, k, hist, rel, stall, div = state
+        return ((rel >= tol) & (k < max_iters)
+                & cycles.guards_ok(stall, div))
 
     def body(state):
-        x, r, z, p, rz, k, hist, rel, stall = state
+        x, r, z, p, rz, k, hist, rel, stall, div = state
         ap = apply_a(p)
         pap = dot(p, ap)
         alpha = rz / jnp.where(pap == 0, 1.0, pap)
@@ -111,12 +112,12 @@ def cg_loop(x, b, *, dot, apply_a, precond, residual, tol, max_iters):
         rz_new = dot(r_new, z_new)
         beta = (rz_new - dot(z_new, r)) / jnp.where(rz == 0, 1.0, rz)
         p = z_new + beta * p
-        stall = jnp.where(new_rel >= 0.9 * rel, stall + 1, 0)
+        stall, div = cycles.step_guards(new_rel, rel, stall, div)
         hist = hist.at[k + 1].set(new_rel)
-        return x, r_new, z_new, p, rz_new, k + 1, hist, new_rel, stall
+        return x, r_new, z_new, p, rz_new, k + 1, hist, new_rel, stall, div
 
-    x, r, z, p, rz, iters, hist, rel, _ = jax.lax.while_loop(
-        cond, body, (x, r, z, p, rz, 0, hist0, rel0, 0))
+    x, r, z, p, rz, iters, hist, rel, _, _ = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, 0, hist0, rel0, 0, 0))
     idx = jnp.arange(max_iters + 1)
     hist = jnp.where(idx <= iters, hist, rel)
     return x, iters, hist, rel
