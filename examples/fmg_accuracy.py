@@ -24,6 +24,9 @@ def main():
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--plot", metavar="FILE", default=None,
                    help="write an error-vs-h PNG with an O(h^2) guide")
+    p.add_argument("--cubic", action="store_true",
+                   help="FMG-order (cubic) solution-walk interpolation "
+                        "(config.fmg_prolong='cubic')")
     args = p.parse_args()
 
     dtype = jnp.float64 if args.f64 else jnp.float32
@@ -31,7 +34,9 @@ def main():
     ns, errs = [], []
     for k in range(max(5, args.k - 2), args.k + 1):
         prob = mg.poisson2d(k=k, smoother="rbgs", dtype=dtype,
-                            use_pallas=args.pallas)
+                            use_pallas=args.pallas,
+                            fmg_prolong="cubic" if args.cubic
+                            else "linear")
         solver = mg.MultigridSolver(prob)
         err = float(solver.discrete_l2_error(solver.fmg()))
         ratio = "" if prev is None else f"  ratio={prev / err:.2f}"

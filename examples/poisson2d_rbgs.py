@@ -26,14 +26,22 @@ def main():
                    help="write a residual-history PNG (reference-style)")
     p.add_argument("--pallas", action="store_true",
                    help="route stencils through the Pallas TPU kernels")
+    p.add_argument("--method", choices=("mg", "pcg"), default="mg",
+                   help="stationary V-cycles or MG-preconditioned CG")
+    p.add_argument("--bf16-precond", action="store_true",
+                   help="run the PCG V-cycle preconditioner in bfloat16 "
+                        "(packed-Pallas fine levels only — see "
+                        "SolverConfig.precond_dtype)")
     args = p.parse_args()
 
     min_coarse = 2 ** (args.k - args.levels + 1) - 1
     prob = mg.poisson2d(k=args.k, smoother="rbgs", tol=args.tol,
                         min_coarse=min_coarse, use_pallas=args.pallas,
-                        dtype=jnp.float32)
+                        dtype=jnp.float32,
+                        precond_dtype=(jnp.bfloat16 if args.bf16_precond
+                                       else None))
     assert prob.hierarchy.num_levels == args.levels
-    res = mg.MultigridSolver(prob).solve()
+    res = mg.MultigridSolver(prob).solve(method=args.method)
     if args.plot:
         from multigridcmt_tpu.utils.plots import plot_residual_history
         plot_residual_history(

@@ -61,6 +61,13 @@ class SolverConfig:
         full ``dtype`` (see ``solvers.krylov.mixed_cycle_dtype``). Ignored
         by the plain stationary solve (``cycles.solve``), which has no
         high-precision outer correction to lean on.
+      fmg_prolong: interpolation order of FMG's coarse-to-fine *solution*
+        walk (SURVEY.md §3.2): "linear" ((bi/tri)linear — the reference's
+        choice, and the default so residual histories match the oracle
+        step-for-step) or "cubic" (FMG-order 4-point interpolation with
+        odd boundary reflection; reaches discretization accuracy with a
+        smaller constant — tests/test_cycles.py). The within-cycle
+        correction prolongation is always (bi)linear.
     """
 
     ndim: int = 2
@@ -78,6 +85,7 @@ class SolverConfig:
     mesh_axis: str = "row"
     agglom_rows: int = 8
     precond_dtype: Optional[Any] = None
+    fmg_prolong: str = "linear"
 
     def __post_init__(self):
         if jnp.dtype(self.dtype) == jnp.float64:
@@ -98,6 +106,8 @@ class SolverConfig:
             raise ValueError(f"unknown cycle {self.cycle!r}")
         if self.precond_dtype is not None:
             jnp.dtype(self.precond_dtype)   # validate eagerly
+        if self.fmg_prolong not in ("linear", "cubic"):
+            raise ValueError(f"unknown fmg_prolong {self.fmg_prolong!r}")
 
     def cycle_dtype(self):
         """Dtype the inner V-cycle preconditioner runs in."""

@@ -11,10 +11,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..grids import aligned_shape, from_aligned, to_aligned
+from ..grids import (aligned3_shape, aligned_shape, from_aligned,
+                     from_aligned3, to_aligned, to_aligned3)
 from ..ops import laplacian, smoothers, stencils_aligned, transfer
 from ..solvers.cycles import Backend
-from . import fused2d, packed2d, stencil2d, transfer2d
+from . import fused2d, packed2d, stencil2d, stencil3d, transfer2d
 
 # Below this interior size, a level uses the aligned-layout jnp stencils
 # instead of a Pallas kernel: the level is cheap either way, and each
@@ -30,13 +31,15 @@ PALLAS_MIN_N = 200
 # level's interior size. Levels below the threshold keep the aligned
 # layout and the fused2d/stencil2d kernels.
 #
-# The threshold is chosen so that in the common k <= 12 configs only the
-# FINEST level packs: a packed->packed coarse crossing currently converts
-# through XLA strided scatters (pack/unpack on the coarse grid), which is
-# milliseconds-slow on TPU — far more than the packed sweeps save. With a
-# single packed level the only layout conversions are encode/decode, once
-# per solve. (k >= 13 pays the crossing at its second level; acceptable,
-# but an in-kernel packed-coarse emit would remove it — future work.)
+# Packed->packed coarse crossings (k >= 13 at this threshold) are handled
+# IN-KERNEL: the fused down leg emits the coarse RHS directly in the
+# packed layout and the up leg consumes one (packed2d, block-diagonal MXU
+# lane selects) — measured +237us/0us on the k=13 down/up legs vs the
+# milliseconds-slow XLA scatter it replaced, giving a near-ideal 3.94x
+# k=12->k=13 cycle scaling. The threshold itself is a measured optimum:
+# packing the 2047 level too (PACK_MIN_N=1500 at k=12) LOSES 130 us/cycle
+# — small levels don't amortize the extra kernels — while packing 4095 as
+# a second level at k=13 WINS (4.72 vs 5.13 ms single-packed).
 PACK_MIN_N = 3000
 
 
@@ -51,6 +54,37 @@ def _is_packed(u: jax.Array) -> bool:
     The leading extent disambiguates: packed arrays always have 2 planes,
     while a 3D grid's leading extent is n + 2 >= 5 (min_coarse >= 3)."""
     return u.ndim == 3 and u.shape[0] == 2
+
+
+# Below this interior size a 3D level stays on the logical-layout jnp
+# stencils; at or above it (and while a plane ring fits VMEM —
+# stencil3d.fits_vmem) the level lives in the aligned3 layout and routes
+# to the plane-rolling 7-point kernels.
+PALLAS3_MIN_N = 100
+
+
+def _is_aligned3(u: jax.Array) -> bool:
+    """aligned3 layout: (n+2, 8k, 128k). A logical 3D cube's last extent
+    is the odd 2^j + 1 — never a 128 multiple — so the lane dim tells the
+    layouts apart."""
+    return (u.ndim == 3 and u.shape[0] != 2 and u.shape[2] % 128 == 0)
+
+
+def _use_pallas3(n: int, dtype) -> bool:
+    _, r, c = aligned3_shape(n)
+    return n >= PALLAS3_MIN_N and stencil3d.fits_vmem(r, c, dtype)
+
+
+def _grid3_layout(ul: jax.Array, n: int) -> jax.Array:
+    """Put a freshly created *logical* 3D padded grid in its level's
+    layout."""
+    if _use_pallas3(n, ul.dtype):
+        return to_aligned3(ul)
+    return ul
+
+
+def _logical3(u: jax.Array, n: int) -> jax.Array:
+    return from_aligned3(u, n) if _is_aligned3(u) else u
 
 
 def _as_aligned_coarse(e: jax.Array, nc: int) -> jax.Array:
@@ -87,6 +121,20 @@ def _smooth(u: jax.Array, b: jax.Array, n: int, h: float, *, kind: str,
         for _ in range(sweeps):
             u = u + scale * packed2d.residual(u, b, n, h, sigma=sigma)
         return u
+    if _is_aligned3(u):
+        if kind == "rbgs":
+            return stencil3d.rbgs_sweep(u, b, n, h, sigma=sigma,
+                                        sweeps=sweeps)
+        if kind == "jacobi":
+            return stencil3d.jacobi_sweep(u, b, n, h, omega, sigma=sigma,
+                                          sweeps=sweeps)
+        if kind == "chebyshev":
+            diag = laplacian.diag_value(3, h, sigma)
+            return smoothers.chebyshev_generic(
+                u, b, sweeps, diag,
+                lambda uu, bb: stencil3d.residual(uu, bb, n, h,
+                                                  sigma=sigma))
+        raise ValueError(f"unknown smoother {kind!r}")
     if u.ndim != 2:
         return smoothers.smooth(u, b, h, kind=kind, omega=omega,
                                 sweeps=sweeps, sigma=sigma)
@@ -122,6 +170,8 @@ def _residual(u: jax.Array, b: jax.Array, n: int, h: float,
               sigma=0.0) -> jax.Array:
     if _is_packed(u):
         return packed2d.residual(u, b, n, h, sigma=sigma)
+    if _is_aligned3(u):
+        return stencil3d.residual(u, b, n, h, sigma=sigma)
     if u.ndim != 2:
         return laplacian.residual(u, b, h, sigma=sigma)
     if n < PALLAS_MIN_N:
@@ -133,11 +183,15 @@ def _restrict(r: jax.Array, n: int) -> jax.Array:
     nc = (n - 1) // 2
     if _is_packed(r):
         # restrict(r) == the coarse output of the fused down leg with zero
-        # sweeps applied to (u=0, b=r): residual(0, r) = r.
+        # sweeps applied to (u=0, b=r): residual(0, r) = r. When the
+        # coarse level also packs, the kernel emits the packed layout
+        # directly (no XLA pack scatter).
         _, rc = packed2d.smooth_residual_restrict(
             jnp.zeros_like(r), r, n, h=1.0, kind="rbgs", omega=1.0,
-            sweeps=0)
-        return _coarse_layout(rc, nc)
+            sweeps=0, packed_coarse=_pack_level(nc))
+        return rc
+    if r.ndim == 3:                                 # 3D, either layout
+        return _grid3_layout(transfer.restrict(_logical3(r, n)), nc)
     if r.ndim != 2:
         return transfer.restrict(r)
     return _coarse_layout(transfer.restrict_aligned(r, n), nc)
@@ -145,18 +199,21 @@ def _restrict(r: jax.Array, n: int) -> jax.Array:
 
 def _prolong(e: jax.Array, nc: int) -> jax.Array:
     n = 2 * nc + 1
+    if e.ndim == 3 and not _is_packed(e):           # 3D, either layout
+        return _grid3_layout(transfer.prolong(_logical3(e, nc)), n)
     if e.ndim != 2 and not _is_packed(e):
         return transfer.prolong(e)
-    ea = _as_aligned_coarse(e, nc)
     if _pack_level(n):
         r, c = aligned_shape(n)
         zero = jnp.zeros((2, r, packed2d.packed_width(c)), dtype=e.dtype)
         return packed2d.prolong_add_smooth(
-            zero, ea, zero, n, nc, h=1.0, kind="rbgs", omega=1.0, sweeps=0)
-    return transfer.prolong_aligned(ea, nc)
+            zero, e, zero, n, nc, h=1.0, kind="rbgs", omega=1.0, sweeps=0)
+    return transfer.prolong_aligned(_as_aligned_coarse(e, nc), nc)
 
 
 def _encode(u: jax.Array) -> jax.Array:
+    if u.ndim == 3 and not _is_packed(u):           # logical 3D grid
+        return _grid3_layout(u, u.shape[0] - 2)
     if u.ndim != 2:
         return u
     ua = to_aligned(u)
@@ -166,6 +223,8 @@ def _encode(u: jax.Array) -> jax.Array:
 def _decode(u: jax.Array, n: int) -> jax.Array:
     if _is_packed(u):
         return from_aligned(packed2d.unpack(u, aligned_shape(n)[1]), n)
+    if _is_aligned3(u):
+        return from_aligned3(u, n)
     return from_aligned(u, n) if u.ndim == 2 else u
 
 
@@ -174,8 +233,14 @@ def _residual_restrict(u: jax.Array, b: jax.Array, n: int,
     nc = (n - 1) // 2
     if _is_packed(u):
         _, rc = packed2d.smooth_residual_restrict(
-            u, b, n, h, kind="rbgs", omega=1.0, sweeps=0)
-        return _coarse_layout(rc, nc)
+            u, b, n, h, kind="rbgs", omega=1.0, sweeps=0,
+            packed_coarse=_pack_level(nc))
+        return rc
+    if _is_aligned3(u):
+        # Residual on the kernel tier; the transfer runs on the logical
+        # slice (cheap O(N) relayouts, dominated by the smoothing sweeps).
+        r3 = stencil3d.residual(u, b, n, h)
+        return _grid3_layout(transfer.restrict(from_aligned3(r3, n)), nc)
     if u.ndim != 2:
         return transfer.restrict(laplacian.residual(u, b, h))
     if n < PALLAS_MIN_N:
@@ -187,8 +252,11 @@ def _residual_restrict(u: jax.Array, b: jax.Array, n: int,
 def _prolong_add(x: jax.Array, e: jax.Array, n: int, nc: int) -> jax.Array:
     if _is_packed(x):
         return packed2d.prolong_add_smooth(
-            x, _as_aligned_coarse(e, nc), jnp.zeros_like(x), n, nc, h=1.0,
+            x, e, jnp.zeros_like(x), n, nc, h=1.0,
             kind="rbgs", omega=1.0, sweeps=0)
+    if _is_aligned3(x):
+        pf = transfer.prolong(_logical3(e, nc))
+        return x + to_aligned3(pf)
     if x.ndim != 2:
         return x + transfer.prolong(e)
     if n < PALLAS_MIN_N:
@@ -206,8 +274,9 @@ def _smooth_residual_restrict(u, b, n, h, *, kind, omega, sweeps,
                 or sweeps > packed2d.max_down_sweeps(kind)):
             return None
         us, rc = packed2d.smooth_residual_restrict(
-            u, b, n, h, kind=kind, omega=omega, sweeps=sweeps, sigma=sigma)
-        return us, _coarse_layout(rc, nc)
+            u, b, n, h, kind=kind, omega=omega, sweeps=sweeps, sigma=sigma,
+            packed_coarse=_pack_level(nc))
+        return us, rc
     if (u.ndim != 2 or n < PALLAS_MIN_N or kind not in ("jacobi", "rbgs")
             or sweeps > fused2d.max_down_sweeps(kind)):
         return None
@@ -223,7 +292,7 @@ def _prolong_add_smooth(x, e, b, n, nc, h, *, kind, omega, sweeps,
                 or sweeps > packed2d.max_up_sweeps(kind)):
             return None
         return packed2d.prolong_add_smooth(
-            x, _as_aligned_coarse(e, nc), b, n, nc, h, kind=kind,
+            x, e, b, n, nc, h, kind=kind,
             omega=omega, sweeps=sweeps, sigma=sigma)
     if (x.ndim != 2 or n < PALLAS_MIN_N or kind not in ("jacobi", "rbgs")
             or sweeps > fused2d.max_up_sweeps(kind)):

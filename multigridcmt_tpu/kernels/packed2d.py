@@ -30,10 +30,16 @@ BASELINE.md notes on MXU selection costs).
 
 Layout interop: packed arrays are recognized by ndim == 3 (plane axis
 first). The fused down-leg emits the coarse RHS in the standard *aligned*
-layout (coarse lanes == fine packed lanes, so no lane extraction is needed
-at all — packing makes the restriction cheaper too), which lets every
-coarser level run the existing aligned kernels unchanged; the fused up-leg
-symmetrically consumes an aligned coarse correction.
+layout by default (coarse lanes == fine packed lanes, so no lane
+extraction is needed at all — packing makes the restriction cheaper too),
+which lets every coarser level run the existing aligned kernels unchanged;
+the fused up-leg symmetrically consumes an aligned coarse correction.
+When the coarse level ALSO packs (k >= 13 at the default PACK_MIN_N), the
+legs emit/consume the packed layout directly (``packed_coarse`` /
+rank-detected ``e``): stride-2 lane extraction/expansion runs as
+block-diagonal 256<->128 MXU selection matmuls with block-local masks —
+once per transfer, never per sweep — replacing the milliseconds-slow XLA
+pack/unpack scatter at the crossing.
 
 Same tiling/DMA discipline as stencil2d.py: 8-row-aligned double-buffered
 windows, overlap-recompute at the tail, circular-roll wraparound landing
@@ -87,6 +93,14 @@ def _cdt(dtype):
 # ---------------------------------------------------------------------------
 # Host-side layout transforms (once per solve; XLA strided slices).
 # ---------------------------------------------------------------------------
+
+# Scoped-VMEM ceiling for these kernels. Mosaic's default is 16 MB,
+# but physical VMEM on this chip class is ~128 MB (measured — see
+# BASELINE.md round-3 notes); the k=13 down leg's window+stack is
+# 16.5 MB, so the default limit is raised rather than the tiles
+# shrunk.
+_VMEM_LIMIT = 48 * 1024 * 1024
+
 
 def packed_width(c: int) -> int:
     """Packed plane lane count: c/2 rounded up to the 128-lane tiling
@@ -276,7 +290,9 @@ def _rbgs_call(n: int, r: int, cp: int, h: float, dtype_name: str,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
                 flops=10 * sweeps * n * n, transcendentals=0,
                 bytes_accessed=3 * 2 * r * cp * jnp.dtype(dtype).itemsize),
@@ -409,7 +425,9 @@ def _residual_call(n: int, r: int, cp: int, h: float, dtype_name: str):
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
                 flops=10 * n * n, transcendentals=0,
                 bytes_accessed=3 * 2 * r * cp * jnp.dtype(dtype).itemsize),
@@ -519,7 +537,9 @@ def _resnorm_call(n: int, r: int, cp: int, h: float, red_only: bool,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
                 flops=(5 if red_only else 10) * n * n, transcendentals=0,
                 bytes_accessed=2 * 2 * r * cp * jnp.dtype(dtype).itemsize),
@@ -561,12 +581,13 @@ def max_down_sweeps(kind: str) -> int:
 @functools.lru_cache(maxsize=None)
 def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                h: float, kind: str, omega: float, sweeps: int,
-               dtype_name: str):
+               dtype_name: str, packed_out: bool = False):
     dtype = jnp.dtype(dtype_name)
     cdt = _cdt(dtype)
     h2 = h * h
     inv_h2 = 1.0 / h2
     assert cc <= cp, (cc, cp)
+    cpc = packed_width(cc)               # coarse packed lane count
     t = min(_T_DN, r)
     lt = min(t + 2 * _HALO_DN, r)
     nt = -(-r // t)
@@ -578,9 +599,16 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                cbuf, zbuf, in_sems, out_sems, z_sem):
         sigma = sigma_ref[0, 0]
         if zr > 0:
-            zbuf[:, :] = jnp.zeros((zr, cc), cdt)
-            zcp = pltpu.make_async_copy(
-                zbuf, rc_out.at[pl.ds(r // 2, zr), :], z_sem)
+            if packed_out:
+                zbuf[:, :, :] = jnp.zeros((2, zbuf.shape[1], cpc), cdt)
+                zcp = pltpu.make_async_copy(
+                    zbuf.at[:, pl.ds(0, zr), :],
+                    rc_out.at[:, pl.ds(r // 2, zr), :], z_sem)
+            else:
+                zbuf[:, :] = jnp.zeros((zbuf.shape[0], cc), cdt)
+                zcp = pltpu.make_async_copy(
+                    zbuf.at[pl.ds(0, zr), :],
+                    rc_out.at[pl.ds(r // 2, zr), :], z_sem)
             zcp.start()
 
         def offsets(i):
@@ -624,9 +652,14 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                 pltpu.make_async_copy(
                     obuf.at[slot, :, pl.ds(0, t), :],
                     u_out.at[:, pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(
-                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
-                    out_sems.at[slot, 1]).wait()
+                if packed_out:
+                    pltpu.make_async_copy(
+                        cbuf.at[slot], rc_out.at[:, pl.ds(0, tc), :],
+                        out_sems.at[slot, 1]).wait()
+                else:
+                    pltpu.make_async_copy(
+                        cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
+                        out_sems.at[slot, 1]).wait()
 
             obuf[slot, 0, :, :] = red.astype(dtype)
             obuf[slot, 1, :, :] = blk.astype(dtype)
@@ -676,18 +709,66 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                 precision=jax.lax.Precision.HIGHEST)
 
             jc0 = pl.multiple_of(oo // 2, 8)
-            gjc = jc0 + _iota2((tc, cc), 0)
-            gcc = _iota2((tc, cc), 1)
-            cmask = (gjc >= 1) & (gjc <= nc) & (gcc >= 1) & (gcc <= nc)
-            cbuf[slot, :, :] = jnp.where(cmask, rows_c[:, :cc],
-                                         jnp.zeros((tc, cc), cdt))
+            if packed_out:
+                # Emit the coarse RHS directly in the color-packed layout
+                # (VERDICT.md round-2 item 4: kill the packed->packed
+                # crossing's XLA scatter). rows_c lanes are aligned coarse
+                # columns; stride-2 lane extraction runs as block-diagonal
+                # 256->128 selection matmuls with block-local masks (the
+                # exact fused2d esel pattern — full-width masks sliced
+                # per block SIGABRT the Mosaic compiler), the even/odd
+                # split routed to red/black by coarse row parity.
+                se = (_iota2((256, 128), 0)
+                      == 2 * _iota2((256, 128), 1)).astype(cdt)
+                so = (_iota2((256, 128), 0)
+                      == 2 * _iota2((256, 128), 1) + 1).astype(cdt)
+                for bi in range(-(-cc // 256)):
+                    lo = bi * 256
+                    w = min(256, cc - lo)
+                    seg = rows_c[:, lo:lo + w]
+                    ev = jax.lax.dot_general(
+                        seg, se[:w, : w // 2], (((1,), (0,)), ((), ())),
+                        preferred_element_type=cdt,
+                        precision=jax.lax.Precision.HIGHEST)
+                    od = jax.lax.dot_general(
+                        seg, so[:w, : w // 2], (((1,), (0,)), ((), ())),
+                        preferred_element_type=cdt,
+                        precision=jax.lax.Precision.HIGHEST)
+                    gi = jc0 + _iota2((tc, w // 2), 0)
+                    jj = lo // 2 + _iota2((tc, w // 2), 1)
+                    rows_ok = (gi >= 1) & (gi <= nc)
+                    evb = (gi % 2) == 0
+                    par = gi % 2
+                    jr = 2 * jj + par            # red column
+                    jb = 2 * jj + 1 - par        # black column
+                    mr = rows_ok & (jr >= 1) & (jr <= nc)
+                    mb = rows_ok & (jb >= 1) & (jb <= nc)
+                    zb = jnp.zeros((tc, w // 2), cdt)
+                    cbuf[slot, 0, :, lo // 2: lo // 2 + w // 2] = \
+                        jnp.where(mr, jnp.where(evb, ev, od), zb)
+                    cbuf[slot, 1, :, lo // 2: lo // 2 + w // 2] = \
+                        jnp.where(mb, jnp.where(evb, od, ev), zb)
+                if cpc > cc // 2:
+                    cbuf[slot, :, :, cc // 2:] = jnp.zeros(
+                        (2, tc, cpc - cc // 2), cdt)
+            else:
+                gjc = jc0 + _iota2((tc, cc), 0)
+                gcc = _iota2((tc, cc), 1)
+                cmask = (gjc >= 1) & (gjc <= nc) & (gcc >= 1) & (gcc <= nc)
+                cbuf[slot, :, :] = jnp.where(cmask, rows_c[:, :cc],
+                                             jnp.zeros((tc, cc), cdt))
 
             pltpu.make_async_copy(
                 obuf.at[slot, :, pl.ds(pl.multiple_of(co, 8), t), :],
                 u_out.at[:, pl.ds(oo, t), :], out_sems.at[slot, 0]).start()
-            pltpu.make_async_copy(
-                cbuf.at[slot], rc_out.at[pl.ds(jc0, tc), :],
-                out_sems.at[slot, 1]).start()
+            if packed_out:
+                pltpu.make_async_copy(
+                    cbuf.at[slot], rc_out.at[:, pl.ds(jc0, tc), :],
+                    out_sems.at[slot, 1]).start()
+            else:
+                pltpu.make_async_copy(
+                    cbuf.at[slot], rc_out.at[pl.ds(jc0, tc), :],
+                    out_sems.at[slot, 1]).start()
             return 0
 
         jax.lax.fori_loop(0, nt, body, 0, unroll=False)
@@ -699,9 +780,14 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
                 pltpu.make_async_copy(
                     obuf.at[slot, :, pl.ds(0, t), :],
                     u_out.at[:, pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(
-                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
-                    out_sems.at[slot, 1]).wait()
+                if packed_out:
+                    pltpu.make_async_copy(
+                        cbuf.at[slot], rc_out.at[:, pl.ds(0, tc), :],
+                        out_sems.at[slot, 1]).wait()
+                else:
+                    pltpu.make_async_copy(
+                        cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
+                        out_sems.at[slot, 1]).wait()
             return 0
 
         jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
@@ -712,8 +798,10 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
         pltpu.VMEM((2, 2, lt, cp), dtype),    # ubuf
         pltpu.VMEM((2, 2, lt, cp), dtype),    # bbuf
         pltpu.VMEM((2, 2, lt, cp), dtype),    # obuf (smoothed planes)
-        pltpu.VMEM((2, tc, cc), cdt),         # cbuf (coarse rows, cdt!)
-        pltpu.VMEM((max(zr, 8), cc), cdt),    # zbuf
+        pltpu.VMEM((2, 2, tc, cpc) if packed_out
+                   else (2, tc, cc), cdt),    # cbuf (coarse rows, cdt!)
+        pltpu.VMEM((2, max(zr, 8), cpc) if packed_out
+                   else (max(zr, 8), cc), cdt),   # zbuf
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA,
@@ -723,14 +811,17 @@ def _down_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int,
         return pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((2, r, cp), dtype),
-                       jax.ShapeDtypeStruct((rc, cc), cdt)),
+                       jax.ShapeDtypeStruct((2, rc, cpc) if packed_out
+                                            else (rc, cc), cdt)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                        pl.BlockSpec(memory_space=pl.ANY)),
             scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
                 flops=(6 * sweeps + 14) * n * n, transcendentals=0,
                 bytes_accessed=(3 * 2 * r * cp + rc * cc)
@@ -747,9 +838,11 @@ def _iota2(shape, dim):
 
 def smooth_residual_restrict(s: jax.Array, bs: jax.Array, n: int, h: float,
                              *, kind: str, omega: float, sweeps: int,
-                             sigma=0.0):
+                             sigma=0.0, packed_coarse: bool = False):
     """(smooth^sweeps(u), restrict(b - A u')) in ONE HBM pass — packed
-    fine planes in/out, aligned coarse RHS out."""
+    fine planes in/out, coarse RHS out in the aligned layout or (when
+    the coarse level also packs, ``packed_coarse``) directly in the
+    color-packed layout."""
     from ..grids import aligned_shape
 
     assert 0 <= sweeps <= max_down_sweeps(kind)
@@ -757,7 +850,7 @@ def smooth_residual_restrict(s: jax.Array, bs: jax.Array, n: int, h: float,
     _, r, cp = s.shape
     rc, cc = aligned_shape(nc)
     call = _down_call(n, nc, r, cp, rc, cc, float(h), kind, float(omega),
-                      sweeps, jnp.dtype(s.dtype).name)
+                      sweeps, jnp.dtype(s.dtype).name, packed_coarse)
     sig = jnp.asarray(sigma, dtype=_cdt(s.dtype)).reshape(1, 1)
     return call(sig, s, bs)
 
@@ -782,12 +875,13 @@ def max_up_sweeps(kind: str) -> int:
 @functools.lru_cache(maxsize=None)
 def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
              kind: str, omega: float, sweeps: int, dtype_name: str,
-             edtype_name: str):
+             edtype_name: str, packed_e: bool = False):
     dtype = jnp.dtype(dtype_name)
     edt = jnp.dtype(edtype_name)     # coarse correction dtype (cdt in a
     cdt = _cdt(dtype)                # mixed-precision cycle)
     h2 = h * h
     assert cc <= cp, (cc, cp)
+    cpc = packed_width(cc)           # coarse packed lane count
     t = min(_T_UP, r)
     ltf = min(t + 2 * _HALO_UP, r)
     ltc = min(t // 2 + 2 * _HALO_UP, rc)
@@ -795,7 +889,7 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
     assert rc >= r // 2, (n, r, rc)
 
     def kernel(sigma_ref, x_hbm, e_hbm, b_hbm, out_hbm, xbuf, bbuf, ebuf,
-               gbuf, obuf, in_sems, out_sems):
+               gbuf, eabuf, obuf, in_sems, out_sems):
         sigma = sigma_ref[0, 0]
 
         def offsets(i):
@@ -807,13 +901,17 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
 
         def in_copies(i, slot):
             _, pf, pc = offsets(i)
+            ecp = (pltpu.make_async_copy(e_hbm.at[:, pl.ds(pc, ltc), :],
+                                         ebuf.at[slot], in_sems.at[slot, 2])
+                   if packed_e else
+                   pltpu.make_async_copy(e_hbm.at[pl.ds(pc, ltc), :],
+                                         ebuf.at[slot], in_sems.at[slot, 2]))
             return (
                 pltpu.make_async_copy(x_hbm.at[:, pl.ds(pf, ltf), :],
                                       xbuf.at[slot], in_sems.at[slot, 0]),
                 pltpu.make_async_copy(b_hbm.at[:, pl.ds(pf, ltf), :],
                                       bbuf.at[slot], in_sems.at[slot, 1]),
-                pltpu.make_async_copy(e_hbm.at[pl.ds(pc, ltc), :],
-                                      ebuf.at[slot], in_sems.at[slot, 2]),
+                ecp,
             )
 
         for cpy in in_copies(0, 0):
@@ -843,8 +941,45 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
                     + jnp.where((~feven) & ((2 * jq == f - 1)
                                             | (2 * jq == f + 1)), 0.5, 0.0)
                     ).astype(cdt)
+            if packed_e:
+                # Expand the packed coarse window to aligned lanes first
+                # (inverse of the down leg's extraction): per coarse row,
+                # even aligned columns come from the row-parity-matched
+                # plane, odd from the other — 128->256 block-diagonal
+                # scatter matmuls into eabuf, with block-local parity
+                # masks (fused2d pattern; see the down-leg note on the
+                # Mosaic full-width-mask crash). pc is 8-aligned, so row
+                # parity is local.
+                er = ebuf[slot, 0].astype(cdt)
+                ebk = ebuf[slot, 1].astype(cdt)
+                set_ = (2 * _iota2((128, 256), 0)
+                        == _iota2((128, 256), 1)).astype(cdt)
+                sot = (2 * _iota2((128, 256), 0) + 1
+                       == _iota2((128, 256), 1)).astype(cdt)
+                for bi in range(-(-cc // 256)):
+                    lo = bi * 256
+                    w = min(256, cc - lo)
+                    erb = er[:, lo // 2: lo // 2 + w // 2]
+                    ebb = ebk[:, lo // 2: lo // 2 + w // 2]
+                    qp = (_iota2((ltc, w // 2), 0) % 2) == 0
+                    peb = jnp.where(qp, erb, ebb)  # -> even aligned lanes
+                    pob = jnp.where(qp, ebb, erb)  # -> odd aligned lanes
+                    eabuf[:, lo:lo + w] = (
+                        jax.lax.dot_general(
+                            peb, set_[: w // 2, :w],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=cdt,
+                            precision=jax.lax.Precision.HIGHEST)
+                        + jax.lax.dot_general(
+                            pob, sot[: w // 2, :w],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=cdt,
+                            precision=jax.lax.Precision.HIGHEST))
+                ea = eabuf[:, :]
+            else:
+                ea = ebuf[slot].astype(cdt)
             g = jax.lax.dot_general(
-                rsel, ebuf[slot].astype(cdt), (((1,), (0,)), ((), ())),
+                rsel, ea, (((1,), (0,)), ((), ())),
                 preferred_element_type=cdt,
                 precision=jax.lax.Precision.HIGHEST)
             if cc < cp:
@@ -896,8 +1031,11 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
     scratch = [
         pltpu.VMEM((2, 2, ltf, cp), dtype),   # xbuf
         pltpu.VMEM((2, 2, ltf, cp), dtype),   # bbuf
-        pltpu.VMEM((2, ltc, cc), edt),        # ebuf (coarse dtype)
+        pltpu.VMEM((2, 2, ltc, cpc) if packed_e
+                   else (2, ltc, cc), edt),   # ebuf (coarse dtype)
         pltpu.VMEM((ltf, cp), cdt),           # gbuf (interpolated rows)
+        pltpu.VMEM((ltc, cc) if packed_e
+                   else (8, 128), cdt),       # eabuf (expanded window)
         pltpu.VMEM((2, 2, ltf, cp), dtype),   # obuf
         pltpu.SemaphoreType.DMA((2, 3)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -913,7 +1051,9 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
                 flops=(6 * sweeps + 3) * n * n, transcendentals=0,
                 bytes_accessed=(3 * 2 * r * cp + rc * cc)
@@ -927,13 +1067,23 @@ def _up_call(n: int, nc: int, r: int, cp: int, rc: int, cc: int, h: float,
 def prolong_add_smooth(x: jax.Array, e: jax.Array, b: jax.Array, n: int,
                        nc: int, h: float, *, kind: str, omega: float,
                        sweeps: int, sigma=0.0) -> jax.Array:
-    """smooth^sweeps(x + P e) in ONE HBM pass — packed fine planes in/out,
-    aligned coarse correction in."""
+    """smooth^sweeps(x + P e) in ONE HBM pass — packed fine planes in/out.
+
+    The coarse correction ``e`` may be aligned ``(rc, cc)`` or
+    color-packed ``(2, rc, cpc)`` (a packed coarse level) — detected by
+    rank; the packed form is expanded in-kernel (no host-side scatter)."""
+    from ..grids import aligned_shape
+
     assert 0 <= sweeps <= max_up_sweeps(kind)
     _, r, cp = x.shape
-    rc, cc = e.shape
+    packed_e = e.ndim == 3
+    if packed_e:
+        rc = e.shape[1]
+        cc = aligned_shape(nc)[1]
+    else:
+        rc, cc = e.shape
     call = _up_call(n, nc, r, cp, rc, cc, float(h), kind, float(omega),
                     sweeps, jnp.dtype(x.dtype).name,
-                    jnp.dtype(e.dtype).name)
+                    jnp.dtype(e.dtype).name, packed_e)
     sig = jnp.asarray(sigma, dtype=_cdt(x.dtype)).reshape(1, 1)
     return call(sig, x, e, b)

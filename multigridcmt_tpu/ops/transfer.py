@@ -96,6 +96,46 @@ def prolong(e: jax.Array) -> jax.Array:
     return e
 
 
+def _fmg_prolong_axis(c: jax.Array, axis: int) -> jax.Array:
+    """Cubic interpolation along ONE axis of a padded array.
+
+    FMG-order prolongation (SURVEY.md §3.2 "fmg_prolong — higher-order
+    interpolation"): the coarse-to-fine *solution* walk of full multigrid
+    should interpolate at higher order than the discretization so the
+    interpolation error does not pollute the O(h^2) discrete solution the
+    final V-cycle is meant to reach. Odd fine points take the 4-point
+    cubic ``(-1, 9, 9, -1)/16``; at the domain ends the stencil's
+    out-of-domain value is supplied by the *odd reflection*
+    ``u(-h) = -u(h)`` that continues a homogeneous-Dirichlet solution
+    smoothly through the boundary.
+    """
+    c = jnp.moveaxis(c, axis, 0)
+    nc = c.shape[0] - 2
+    n = 2 * nc + 1
+    # ext[j] == c[j-1] for j = 0..nc+3, with the reflected values at the
+    # two out-of-domain slots: c[-1] := -c[1] and c[nc+2] := -c[nc].
+    ext = jnp.concatenate([-c[1:2], c, -c[nc:nc + 1]], axis=0)
+    fine = jnp.zeros((n,) + c.shape[1:], dtype=c.dtype)
+    # Even fine points 2j coincide with coarse j (injection).
+    fine = fine.at[1::2].set(c[1:-1])
+    # Odd fine point 2j+1 (j = 0..nc) sits between coarse j and j+1:
+    # cubic through coarse j-1, j, j+1, j+2 (via ext: j-1 -> ext[j],
+    # j+2 -> ext[j+3]).
+    odd = (-ext[0:nc + 1] + 9.0 * c[0:nc + 1] + 9.0 * c[1:nc + 2]
+           - ext[3:nc + 4]) / 16.0
+    fine = fine.at[0::2].set(odd)
+    fine = jnp.pad(fine, [(1, 1)] + [(0, 0)] * (fine.ndim - 1))
+    return jnp.moveaxis(fine, 0, axis)
+
+
+def fmg_prolong(e: jax.Array) -> jax.Array:
+    """Cubic (FMG-order) prolongation, padded coarse -> padded fine grid,
+    any ndim (tensor-product of the 1D cubic)."""
+    for ax in range(e.ndim):
+        e = _fmg_prolong_axis(e, ax)
+    return e
+
+
 # ---------------------------------------------------------------------------
 # Aligned-layout variants (the Pallas solve path, see grids.aligned_shape):
 # same stencils, applied to the logical top-left corner of TPU-aligned

@@ -90,6 +90,16 @@ JNP_BACKEND = Backend(
 
 def get_backend(config: SolverConfig) -> Backend:
     if config.use_pallas:
+        if config.ndim == 3 and config.smoother != "rbgs":
+            # Measured on the v5e chip (bench_3d.py, 255^3): XLA already
+            # compiles the jnp 7-point Jacobi/Chebyshev chains to fused
+            # single-pass programs and pins the loop-carried grid in the
+            # ~128 MB physical VMEM, beating a hand-streamed Pallas
+            # kernel (166 us vs 481 us per Jacobi sweep). Only RB-GS —
+            # whose two-color masked updates XLA cannot fuse into one
+            # pass — wins with the plane-rolling kernel (2.3x), so the
+            # kernel tier is reserved for it.
+            return JNP_BACKEND
         from ..kernels import PALLAS_BACKEND
 
         return PALLAS_BACKEND
@@ -200,7 +210,15 @@ def fmg(hier: Hierarchy, b: jax.Array, config: SolverConfig,
         bs.append(bk.restrict(bs[-1], hier.levels[lev].n))
     x = coarse_solve(hier, bs[-1], backend=bk)
     for level in range(hier.num_levels - 2, -1, -1):
-        x = bk.prolong(x, hier.levels[level + 1].n)
+        nc = hier.levels[level + 1].n
+        if config.fmg_prolong == "cubic":
+            # FMG-order interpolation for the solution walk (SURVEY.md
+            # §3.2). Runs on the logical layout — once per level per
+            # solve, dwarfed by the V-cycles — while the within-cycle
+            # correction prolongation stays (bi)linear on the backend.
+            x = bk.encode(transfer.fmg_prolong(bk.decode(x, nc)))
+        else:
+            x = bk.prolong(x, nc)
         for _ in range(n_vcycles):
             x = v_cycle(hier, x, bs[level], config, level=level)
     return x

@@ -114,6 +114,61 @@ def test_fmg_error_halving_ratio():
     assert 3.0 < r2 < 5.0
 
 
+def test_fmg_prolong_cubic_order():
+    """transfer.fmg_prolong interpolates sin(pi x) at 4th order: the
+    interpolation-error ratio between successive grids is ~16 (vs ~4 for
+    the linear prolong)."""
+    from multigridcmt_tpu.grids import pad_interior
+    from multigridcmt_tpu.ops import transfer
+
+    errs = []
+    for k in (5, 6, 7):
+        nc = 2 ** k - 1
+        n = 2 * nc + 1
+        hc = 1.0 / (nc + 1)
+        hf = 1.0 / (n + 1)
+        xc = np.arange(1, nc + 1) * hc
+        xf = np.arange(1, n + 1) * hf
+        coarse = pad_interior(jnp.asarray(np.sin(np.pi * xc)))
+        fine = np.asarray(transfer.fmg_prolong(coarse))[1:-1]
+        errs.append(np.max(np.abs(fine - np.sin(np.pi * xf))))
+    assert errs[0] / errs[1] > 12.0
+    assert errs[1] / errs[2] > 12.0
+
+
+@pytest.mark.parametrize("k", [5, 6])
+def test_fmg_cubic_beats_linear(k):
+    """config.fmg_prolong='cubic' (SURVEY §3.2 FMG-order interpolation)
+    reduces the *algebraic* error of the coarse-to-fine walk — the
+    quantity the interpolation order controls — by ~3x (measured 5.9e-2
+    vs 1.47e-1 walk-only, and ~3x again after the per-level V-cycle).
+    Note the discrete-L2 error vs the ANALYTIC solution can look better
+    for the linear walk on the model problem: its larger algebraic
+    leftover happens to partially cancel the discretization error.
+    Discretization accuracy itself is asserted too."""
+    from multigridcmt_tpu.grids import build_hierarchy
+    from multigridcmt_tpu.solvers import cycles
+
+    prob = mg.poisson2d(k=k, dtype=jnp.float64, smoother="rbgs",
+                        tol=1e-12)
+    hier = build_hierarchy(prob.config)
+    ref = cycles.solve(hier, prob.b, prob.config).x     # converged u_h
+    alg = {}
+    for kind in ("linear", "cubic"):
+        cfg = mg.poisson2d(k=k, dtype=jnp.float64, smoother="rbgs",
+                           fmg_prolong=kind).config
+        x = cycles.fmg(hier, prob.b, cfg)
+        alg[kind] = float(jnp.linalg.norm(x - ref)
+                          / jnp.linalg.norm(ref))
+    assert alg["cubic"] < 0.5 * alg["linear"]
+    # And the cubic walk still lands at discretization accuracy.
+    prob_c = mg.poisson2d(k=k, dtype=jnp.float64, smoother="rbgs",
+                          fmg_prolong="cubic")
+    solver = mg.MultigridSolver(prob_c)
+    h = 1.0 / 2 ** k
+    assert float(solver.discrete_l2_error(solver.fmg())) < 5.0 * h * h
+
+
 def test_fmg_matches_scipy_reference():
     k = 6
     prob = mg.poisson2d(k=k, dtype=jnp.float64, smoother="jacobi")
