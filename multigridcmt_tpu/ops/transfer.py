@@ -61,16 +61,24 @@ def restrict(r: jax.Array) -> jax.Array:
     return r
 
 
+def _interleave(evens: jax.Array, odds: jax.Array, n: int) -> jax.Array:
+    """rows [e0, o0, e1, o1, ...][:n] via stack+reshape — contiguous, no
+    strided scatter (XLA lowers .at[0::2].set to a slow TPU relayout).
+    After the stack the shape is (m, 2) + tail; the reshape flattens the
+    pair axis into interleaved rows."""
+    out = jnp.stack([evens, odds], axis=1)
+    return out.reshape((2 * evens.shape[0],) + evens.shape[1:])[:n]
+
+
 def _prolong_axis0_1d(c: jax.Array) -> jax.Array:
     """Linear interpolation along a 1D padded array: (nc+2,) -> (n+2,)."""
     nc = c.shape[0] - 2
     n = 2 * nc + 1
-    fine = jnp.zeros((n,), dtype=c.dtype)
-    # 1-based fine point 2j (0-based 2j-1) takes the coarse value c_j.
-    fine = fine.at[1::2].set(c[1:-1])
-    # 1-based odd fine points 2j+1 (j = 0..nc) average c_j and c_{j+1};
-    # the padded ghosts c[0] = c[nc+1] = 0 supply the boundary halves.
-    fine = fine.at[0::2].set(0.5 * (c[:-1] + c[1:]))
+    # 1-based fine point 2j takes the coarse value c_j; odd fine points
+    # 2j+1 (j = 0..nc) average c_j and c_{j+1} — the padded ghosts
+    # c[0] = c[nc+1] = 0 supply the boundary halves. Interleaved as
+    # (avg_j, c_{j+1}) pairs; the trailing ghost pair is sliced off.
+    fine = _interleave(0.5 * (c[:-1] + c[1:]), c[1:], n)
     return jnp.pad(fine, 1)
 
 
@@ -79,9 +87,7 @@ def _prolong_axis(c: jax.Array, axis: int) -> jax.Array:
     c = jnp.moveaxis(c, axis, 0)
     nc = c.shape[0] - 2
     n = 2 * nc + 1
-    fine = jnp.zeros((n,) + c.shape[1:], dtype=c.dtype)
-    fine = fine.at[1::2].set(c[1:-1])
-    fine = fine.at[0::2].set(0.5 * (c[:-1] + c[1:]))
+    fine = _interleave(0.5 * (c[:-1] + c[1:]), c[1:], n)
     fine = jnp.pad(fine, [(1, 1)] + [(0, 0)] * (fine.ndim - 1))
     return jnp.moveaxis(fine, 0, axis)
 
@@ -115,15 +121,13 @@ def _fmg_prolong_axis(c: jax.Array, axis: int) -> jax.Array:
     # ext[j] == c[j-1] for j = 0..nc+3, with the reflected values at the
     # two out-of-domain slots: c[-1] := -c[1] and c[nc+2] := -c[nc].
     ext = jnp.concatenate([-c[1:2], c, -c[nc:nc + 1]], axis=0)
-    fine = jnp.zeros((n,) + c.shape[1:], dtype=c.dtype)
-    # Even fine points 2j coincide with coarse j (injection).
-    fine = fine.at[1::2].set(c[1:-1])
-    # Odd fine point 2j+1 (j = 0..nc) sits between coarse j and j+1:
-    # cubic through coarse j-1, j, j+1, j+2 (via ext: j-1 -> ext[j],
+    # Even fine points 2j coincide with coarse j (injection); odd fine
+    # point 2j+1 (j = 0..nc) sits between coarse j and j+1: cubic
+    # through coarse j-1, j, j+1, j+2 (via ext: j-1 -> ext[j],
     # j+2 -> ext[j+3]).
     odd = (-ext[0:nc + 1] + 9.0 * c[0:nc + 1] + 9.0 * c[1:nc + 2]
            - ext[3:nc + 4]) / 16.0
-    fine = fine.at[0::2].set(odd)
+    fine = _interleave(odd, c[1:], n)
     fine = jnp.pad(fine, [(1, 1)] + [(0, 0)] * (fine.ndim - 1))
     return jnp.moveaxis(fine, 0, axis)
 

@@ -275,9 +275,12 @@ def _coord_sum(shape, decomp: Decomp) -> jax.Array:
     return s
 
 
-def s_residual(u, b, n, h, decomp: Decomp, sigma=0.0):
+def s_residual(u, b, n, h, decomp: Decomp, sigma=0.0,
+               use_pallas: bool = False):
     """r = b - (A - sigma I) u on owned tiles (one overlapped halo
     exchange round per axis)."""
+    if use_pallas and _local_pallas_ok(u, n, "rbgs", decomp):
+        return _s_residual_pallas(u, b, n, h, decomp, sigma)
     nbr = _neighbor_sum_dd(u, decomp)
     ctr = _slice_unsharded(u, decomp)
     inv_h2 = 1.0 / (h * h)
@@ -311,7 +314,108 @@ def s_rbgs(u, b, n, h, decomp: Decomp, sigma=0.0):
     return u
 
 
-def s_smooth(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp, sigma=0.0):
+def _local_pallas_ok(u, n, kind, decomp: Decomp) -> bool:
+    """Shard-local Pallas smoothing is available: 2D row decomposition,
+    rbgs/jacobi, tile big enough to amortize a kernel and deep enough to
+    hold the 8-row exchanged halo."""
+    from ..kernels import PALLAS_MIN_N
+    from ..kernels.local2d import HALO_ROWS
+
+    return (u.ndim == 2 and len(decomp.axes) == 1
+            and decomp.axes[0][0] == 0 and kind in ("rbgs", "jacobi")
+            and n >= PALLAS_MIN_N and u.shape[0] >= HALO_ROWS
+            and u.shape[0] % 2 == 0)
+
+
+def _ext_aligned(u, ma: str, ndev: int, hh: int):
+    """Halo-extend a local row tile by hh pre-sweep ghost rows each side
+    (one ppermute pair) and embed it in the 2D-aligned layout."""
+    m, cpad = u.shape
+    r8 = -(-(m + 2 * hh) // 8) * 8
+    c128 = -(-cpad // 128) * 128
+    near = jax.lax.ppermute(u[-hh:], ma, _perm_down(ndev))
+    far = jax.lax.ppermute(u[:hh], ma, _perm_up(ndev))
+    return jnp.pad(jnp.concatenate([near, u, far], axis=0),
+                   ((0, r8 - m - 2 * hh), (0, c128 - cpad)))
+
+
+def _s_smooth_pallas(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp,
+                     sigma=0.0):
+    """Fused shard-local Pallas smoothing (kernels/local2d.py).
+
+    One ppermute pair exchanges HALO_ROWS pre-sweep ghost rows, the
+    whole stage runs as ONE kernel over the halo-extended aligned tile
+    (ghost-region overlap-recompute keeps owned rows EXACTLY equal to
+    the global sweep — vs the jnp path's re-exchange per half-sweep),
+    and the owned rows are sliced back out. Measured on the chip: the
+    k=12 mesh-of-1 sharded cycle drops 12.5 -> 5.2 ms (BASELINE.md).
+    """
+    from ..kernels import local2d
+
+    _, ma, ndev = decomp.axes[0]
+    hh = local2d.HALO_ROWS
+    m, cpad = u.shape
+    max_f = local2d.max_fused_sweeps(kind)
+    # Global row of extended-tile row 0: owned row 0 is global d*m + 1.
+    row_off = jax.lax.axis_index(ma) * m + 1 - hh
+
+    while sweeps > 0:
+        s = min(sweeps, max_f)
+        ue = _ext_aligned(u, ma, ndev, hh)
+        be = _ext_aligned(b, ma, ndev, hh)
+        if kind == "rbgs":
+            out = local2d.rbgs_sweep(ue, be, n, h, row_off, sigma=sigma,
+                                     sweeps=s)
+        else:
+            out = local2d.jacobi_sweep(ue, be, n, h, omega, row_off,
+                                       sigma=sigma, sweeps=s)
+        u = out[hh:hh + m, :cpad]
+        sweeps -= s
+    return u
+
+
+def _s_residual_pallas(u, b, n, h, decomp: Decomp, sigma=0.0):
+    """Shard-local Pallas residual (1-row halo suffices; the 8-row
+    exchange is reused for layout uniformity — the slabs are tiny)."""
+    from ..kernels import local2d
+
+    _, ma, ndev = decomp.axes[0]
+    hh = local2d.HALO_ROWS
+    m, cpad = u.shape
+    row_off = jax.lax.axis_index(ma) * m + 1 - hh
+    ue = _ext_aligned(u, ma, ndev, hh)
+    be = _ext_aligned(b, ma, ndev, hh)
+    out = local2d.residual(ue, be, n, h, row_off, sigma=sigma)
+    return out[hh:hh + m, :cpad]
+
+
+def _s_smooth_residual_pallas(u, b, n, h, *, kind, omega, sweeps,
+                              decomp: Decomp, sigma=0.0):
+    """Down-leg pair (smooth^nu, residual) from ONE halo exchange and
+    ONE extended-tile build: after s sweeps the ghost region is exact to
+    depth HALO_ROWS - 2s rows, so for 2s < HALO_ROWS the residual kernel
+    can run directly on the smoothed extended tile — no re-exchange.
+    Returns (u_smoothed, r), both owned tiles."""
+    from ..kernels import local2d
+
+    _, ma, ndev = decomp.axes[0]
+    hh = local2d.HALO_ROWS
+    m, cpad = u.shape
+    row_off = jax.lax.axis_index(ma) * m + 1 - hh
+    ue = _ext_aligned(u, ma, ndev, hh)
+    be = _ext_aligned(b, ma, ndev, hh)
+    if kind == "rbgs":
+        us = local2d.rbgs_sweep(ue, be, n, h, row_off, sigma=sigma,
+                                sweeps=sweeps)
+    else:
+        us = local2d.jacobi_sweep(ue, be, n, h, omega, row_off,
+                                  sigma=sigma, sweeps=sweeps)
+    r = local2d.residual(us, be, n, h, row_off, sigma=sigma)
+    return us[hh:hh + m, :cpad], r[hh:hh + m, :cpad]
+
+
+def s_smooth(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp, sigma=0.0,
+             use_pallas: bool = False):
     if kind == "chebyshev":
         # Apply-only smoother: the generic Chebyshev recurrence over the
         # halo-exchanging residual — one ppermute round per application,
@@ -320,7 +424,11 @@ def s_smooth(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp, sigma=0.0):
         diag = laplacian.diag_value(decomp.ndim, h, sigma)
         return smoothers.chebyshev_generic(
             u, b, sweeps, diag,
-            lambda uu, bb: s_residual(uu, bb, n, h, decomp, sigma))
+            lambda uu, bb: s_residual(uu, bb, n, h, decomp, sigma,
+                                      use_pallas=use_pallas))
+    if use_pallas and _local_pallas_ok(u, n, kind, decomp):
+        return _s_smooth_pallas(u, b, n, h, kind=kind, omega=omega,
+                                sweeps=sweeps, decomp=decomp, sigma=sigma)
     for _ in range(sweeps):
         if kind == "jacobi":
             u = s_jacobi(u, b, n, h, omega, decomp, sigma)
@@ -386,9 +494,11 @@ def s_prolong(e, nc, decomp: Decomp):
                            [(1, 0)] + [(0, 0)] * (v.ndim - 1))
             odd_f = 0.5 * (prev + v)                   # fine i = 0, 2, ...
             odd_f = odd_f.at[0:1].add(0.5 * near)
-            out = jnp.zeros((2 * mc,) + v.shape[1:], dtype=e.dtype)
-            out = out.at[0::2].set(odd_f)
-            out = out.at[1::2].set(v)                  # fine i = 1, 3, ...
+            # Interleave via stack+reshape — contiguous, no strided
+            # scatter (XLA lowers .at[0::2].set to a milliseconds-slow
+            # relayout on TPU).
+            out = jnp.stack([odd_f, v], axis=1).reshape(
+                (2 * mc,) + v.shape[1:])
             e = jnp.moveaxis(out, 0, a)
     mask = _interior_mask(n, e.shape, decomp)
     return jnp.where(mask, e, jnp.zeros_like(e))
@@ -443,13 +553,34 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
     spec = hier.levels[level]
     n, h = spec.n, spec.h
     omega = cfg.effective_omega()
+    # Replicated (agglomerated) levels hold LOGICAL grids, not the
+    # aligned/packed layouts the Pallas backend expects — and they are
+    # small by construction — so the replicated region always runs the
+    # jnp backend. use_pallas only routes the shard-local smoothing
+    # (kernels/local2d.py).
+    cfg_repl = (dataclasses.replace(cfg, use_pallas=False)
+                if cfg.use_pallas else cfg)
     if not _is_sharded(cfg, decomp, level):
         # Replicated region: identical unsharded cycle on every device.
-        return cycles.v_cycle(hier, x, b, cfg, level=level, gamma=gamma,
-                              sigma=sigma)
-    x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
-                 sweeps=cfg.nu1, decomp=decomp, sigma=sigma)
-    r = s_residual(x, b, n, h, decomp, sigma)
+        return cycles.v_cycle(hier, x, b, cfg_repl, level=level,
+                              gamma=gamma, sigma=sigma)
+    # Down-leg smooth+residual share one halo exchange and extended-tile
+    # build on the kernel path (residual ghost reads stay exact while
+    # 2*nu1 < HALO_ROWS for rbgs / nu1 < HALO_ROWS for jacobi).
+    from ..kernels.local2d import HALO_ROWS as _hr
+
+    _stale = 2 * cfg.nu1 if cfg.smoother == "rbgs" else cfg.nu1
+    if (cfg.use_pallas and _local_pallas_ok(x, n, cfg.smoother, decomp)
+            and cfg.smoother in ("rbgs", "jacobi") and _stale < _hr):
+        x, r = _s_smooth_residual_pallas(
+            x, b, n, h, kind=cfg.smoother, omega=omega, sweeps=cfg.nu1,
+            decomp=decomp, sigma=sigma)
+    else:
+        x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
+                     sweeps=cfg.nu1, decomp=decomp, sigma=sigma,
+                     use_pallas=cfg.use_pallas)
+        r = s_residual(x, b, n, h, decomp, sigma,
+                       use_pallas=cfg.use_pallas)
     rc = s_restrict(r, n, decomp)
     nc = hier.levels[level + 1].n
     if not _is_sharded(cfg, decomp, level + 1):
@@ -457,7 +588,7 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
         rc_full = _gather_full(rc, decomp)
         ec_full = jnp.zeros_like(rc_full)
         for _ in range(gamma):
-            ec_full = cycles.v_cycle(hier, ec_full, rc_full, cfg,
+            ec_full = cycles.v_cycle(hier, ec_full, rc_full, cfg_repl,
                                      level=level + 1, gamma=gamma,
                                      sigma=sigma)
         ef_full = transfer.prolong(ec_full)
@@ -469,7 +600,8 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
                                   level + 1, gamma, sigma)
         x = x + s_prolong(ec, nc, decomp)
     x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
-                 sweeps=cfg.nu2, decomp=decomp, sigma=sigma)
+                 sweeps=cfg.nu2, decomp=decomp, sigma=sigma,
+                 use_pallas=cfg.use_pallas)
     return x
 
 
@@ -623,7 +755,8 @@ class ShardedSolver:
             b_norm = jnp.sqrt(_psum_sq(b, decomp))
             b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
             r0 = jnp.sqrt(_psum_sq(
-                s_residual(x, b, n, h, decomp), decomp)) / b_norm
+                s_residual(x, b, n, h, decomp,
+                           use_pallas=cfg.use_pallas), decomp)) / b_norm
             hist0 = jnp.full((cfg.max_iters + 1,), r0, dtype=b.dtype)
 
             # Stall + divergence guards, as in cycles.solve.
@@ -636,7 +769,8 @@ class ShardedSolver:
                 x, k_it, hist, rel, stall, div = st
                 x = _sharded_v_cycle(hier, cfg, decomp, x, b, 0, gamma)
                 new_rel = jnp.sqrt(_psum_sq(
-                    s_residual(x, b, n, h, decomp), decomp)) / b_norm
+                    s_residual(x, b, n, h, decomp,
+                               use_pallas=cfg.use_pallas), decomp)) / b_norm
                 stall, div = cycles.step_guards(new_rel, rel, stall, div)
                 hist = hist.at[k_it + 1].set(new_rel)
                 return x, k_it + 1, hist, new_rel, stall, div
@@ -675,7 +809,8 @@ class ShardedSolver:
                 return jax.lax.psum(jnp.sum(u * v), decomp.mesh_axes)
 
             def apply_a(p):
-                return -s_residual(p, jnp.zeros_like(p), n, h, decomp)
+                return -s_residual(p, jnp.zeros_like(p), n, h, decomp,
+                                   use_pallas=cfg.use_pallas)
 
             def precond(r):
                 return _sharded_v_cycle(hier, cfg, decomp,
@@ -684,7 +819,8 @@ class ShardedSolver:
             x, iters, hist, rel = cg_loop(
                 jnp.zeros_like(b), b, dot=pdot, apply_a=apply_a,
                 precond=precond,
-                residual=lambda xx, bb: s_residual(xx, bb, n, h, decomp),
+                residual=lambda xx, bb: s_residual(xx, bb, n, h, decomp,
+                                                use_pallas=cfg.use_pallas),
                 tol=cfg.tol, max_iters=cfg.max_iters)
             return x, iters, hist, rel < cfg.tol
 
@@ -744,7 +880,8 @@ class ShardedSolver:
 
         def apply_local(u):
             """A u on owned tiles (one halo exchange round)."""
-            return -s_residual(u, jnp.zeros_like(u), n, h, decomp)
+            return -s_residual(u, jnp.zeros_like(u), n, h, decomp,
+                               use_pallas=cfg.use_pallas)
 
         def psum_dots(f, g):
             """(k, k) Gram-type matrix of flattened local tiles."""
@@ -779,7 +916,8 @@ class ShardedSolver:
                     w, i, rel = st
                     w = _sharded_v_cycle(hier, cfg, decomp, w, rhs, 0,
                                          sigma=sg)
-                    r = s_residual(w, rhs, n, h, decomp, sg)
+                    r = s_residual(w, rhs, n, h, decomp, sg,
+                                   use_pallas=cfg.use_pallas)
                     rel = jnp.sqrt(jax.lax.psum(jnp.sum(r * r),
                                                 mesh_axes)) / rn
                     return w, i + 1, rel
@@ -896,7 +1034,8 @@ class ShardedSolver:
         lam_shape = (k,) + (1,) * cfg.ndim
 
         def apply_local(u):
-            return -s_residual(u, jnp.zeros_like(u), n, h, decomp)
+            return -s_residual(u, jnp.zeros_like(u), n, h, decomp,
+                               use_pallas=cfg.use_pallas)
 
         def flat(v):
             return v.reshape(v.shape[0], -1)

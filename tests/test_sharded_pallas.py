@@ -1,0 +1,112 @@
+"""Shard-local Pallas smoothing tests (kernels/local2d.py).
+
+The sharded runtime's jnp color-masked smoothing costs ~10x the Pallas
+kernels per point on the chip (BASELINE.md round-3); with
+``use_pallas=True`` a row-decomposed 2D solve runs each smoothing stage
+as ONE fused kernel over a halo-extended tile. The binding property is
+unchanged: sharded == unsharded point-for-point at fp64, including
+RB-GS sweep order across shard boundaries — now with the kernel's
+ghost-region overlap-recompute standing in for the jnp path's
+per-half-sweep halo re-exchange.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import multigridcmt_tpu as mg
+from multigridcmt_tpu import kernels
+from multigridcmt_tpu.config import SolverConfig
+from multigridcmt_tpu.parallel import sharded
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 (virtual) devices")
+
+
+def _mesh(ndev=8):
+    return sharded.make_mesh(jax.devices()[:ndev])
+
+
+@needs_8
+@pytest.mark.parametrize("smoother,sweeps", [("rbgs", 2), ("rbgs", 4),
+                                             ("jacobi", 2)])
+def test_sharded_pallas_solve_matches_unsharded(smoother, sweeps,
+                                                monkeypatch):
+    """use_pallas sharded solve == single-device solve, exactly the same
+    residual history (k=6 on 8 row-devices: m=8 local rows — the minimum
+    tile the 8-row halo supports — with agglomerated coarse levels)."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=6, dtype=jnp.float64, smoother=smoother,
+                nu1=sweeps, nu2=sweeps, tol=1e-8, agglom_rows=8)
+    cfg = SolverConfig(ndim=2, **base, use_pallas=True)
+    prob = mg.poisson2d(**base)
+    ref = mg.MultigridSolver(prob).solve()
+
+    s = sharded.ShardedSolver(cfg, _mesh())
+    got = s.solve(prob.b)
+
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.res_history),
+                               np.asarray(ref.res_history),
+                               rtol=1e-6, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
+
+
+@needs_8
+def test_sharded_pallas_matches_sharded_jnp(monkeypatch):
+    """Same solve with and without the local kernels: identical to fp64
+    round-off (the kernel path replaces re-exchange with ghost
+    recompute — same math, different summation sites)."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=7, dtype=jnp.float64, smoother="rbgs",
+                tol=1e-9, agglom_rows=4)
+    prob = mg.poisson2d(**base)
+    a = sharded.ShardedSolver(SolverConfig(ndim=2, **base), _mesh()).solve(prob.b)
+    b = sharded.ShardedSolver(SolverConfig(ndim=2, **base, use_pallas=True),
+                              _mesh()).solve(prob.b)
+    assert int(a.iters) == int(b.iters)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x),
+                               rtol=1e-10, atol=1e-13)
+
+
+@needs_8
+def test_sharded_pallas_pcg_and_eigen(monkeypatch):
+    """The Krylov and eigensolver drivers inherit the kernel smoothing
+    through _sharded_v_cycle; spot-check both converge to the same
+    answers."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=6, dtype=jnp.float64, smoother="rbgs",
+                tol=1e-9, agglom_rows=8)
+    prob = mg.poisson2d(**base)
+    sj = sharded.ShardedSolver(SolverConfig(ndim=2, **base), _mesh())
+    sp = sharded.ShardedSolver(SolverConfig(ndim=2, **base, use_pallas=True),
+                               _mesh())
+    rj = sj.solve(prob.b, method="pcg")
+    rp = sp.solve(prob.b, method="pcg")
+    assert bool(rj.converged) and bool(rp.converged)
+    np.testing.assert_allclose(np.asarray(rp.x), np.asarray(rj.x),
+                               rtol=1e-8, atol=1e-11)
+
+    ej = sj.eigensolve(k=1, method="lobpcg", tol=1e-8, max_iters=30)
+    ep = sp.eigensolve(k=1, method="lobpcg", tol=1e-8, max_iters=30)
+    assert bool(ej.converged) and bool(ep.converged)
+    lam_j = float(ej.eigenvalues[0])
+    lam_p = float(ep.eigenvalues[0])
+    assert abs(lam_p - lam_j) / lam_j < 1e-8
+
+
+@needs_8
+def test_small_tiles_fall_back(monkeypatch):
+    """Tiles shallower than the 8-row halo (k=5 on 8 devices: m=4) must
+    fall back to the jnp path and still match unsharded."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 10)
+    base = dict(k=5, dtype=jnp.float64, smoother="rbgs",
+                tol=1e-8, agglom_rows=2)
+    prob = mg.poisson2d(**base)
+    ref = mg.MultigridSolver(prob).solve()
+    got = sharded.ShardedSolver(SolverConfig(ndim=2, **base, use_pallas=True),
+                                _mesh()).solve(prob.b)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
