@@ -1,0 +1,68 @@
+"""Distributed-solver benchmark (BASELINE config 5 shape) on the chip.
+
+Runs the full ShardedSolver V-cycle at 4095^2 on whatever mesh the
+process sees (one chip here — the mesh degenerates to 1 device, which
+measures the per-device compute path the pod would run; real multi-host
+wall-clock needs a slice). Compares the jnp local path with the
+shard-local Pallas kernels (kernels/local2d.py) and prints one JSON
+line with both cycle times.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+from bench import _marginal, log
+
+
+def main():
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multigridcmt_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    import multigridcmt_tpu as mg
+    from multigridcmt_tpu.config import SolverConfig
+    from multigridcmt_tpu.parallel import sharded
+
+    K = 12
+    prob = mg.poisson2d(k=K, dtype=jnp.float32)
+    out = {}
+    for up in (False, True):
+        cfg = SolverConfig(ndim=2, k=K, dtype=jnp.float32, smoother="rbgs",
+                           use_pallas=up)
+        solver = sharded.ShardedSolver(cfg, sharded.make_mesh())
+        b_sh = sharded.shard_rhs(jnp.asarray(prob.b), solver.mesh,
+                                 solver.decomp)
+        vfn = solver.v_cycle_fn()
+
+        @jax.jit
+        def cyc_m(b, m):
+            def body(i, x):
+                return vfn(x, b)
+
+            return jnp.sum(jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
+                           .astype(jnp.float32))
+
+        t = _marginal(lambda m: float(cyc_m(b_sh, m)), k1=1, k2=5, reps=6)
+        out["pallas" if up else "jnp"] = t * 1e3
+        log(f"[dist] sharded V(2,2) cycle k={K}, {len(jax.devices())} "
+            f"device(s), use_pallas={up}: {t * 1e3:.3f} ms")
+        del solver, b_sh, vfn
+
+    print(json.dumps({
+        "metric": "sharded_4095_vcycle_wall_1dev",
+        "value": round(out["pallas"], 3),
+        "unit": "ms",
+        "jnp_ms": round(out["jnp"], 3),
+        "speedup": round(out["jnp"] / out["pallas"], 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

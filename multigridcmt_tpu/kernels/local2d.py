@@ -14,11 +14,12 @@ stencil2d kernels that
     pre-sweep values within 2s rows, and 2s <= HALO_ROWS, so owned
     output rows equal the global sweep EXACTLY — same contract as the
     re-exchanging jnp path, tested to fp64 equality);
-  * takes the tile's GLOBAL row offset as an SMEM scalar: shard_map
-    compiles one SPMD program, so per-shard quantities (row offset from
-    ``axis_index``) must be runtime values. Row interior bounds and the
-    red/black parity derive from it; the column bound is static (columns
-    are unsharded in the row decomposition).
+  * takes the tile's GLOBAL (row, col) offsets as SMEM scalars:
+    shard_map compiles one SPMD program, so per-shard quantities
+    (offsets from ``axis_index``) must be runtime values. Interior
+    bounds and the red/black parity derive from them; a row
+    decomposition passes col_off = 0 (columns carry the global
+    padding), a block decomposition passes both.
 
 Cited behavior: the reference's RB-GS sweep order (SURVEY.md §2) — the
 equivalence tests in tests/test_sharded.py pin sharded == unsharded
@@ -33,8 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil2d import (_HALO, _TILE_ROWS, _gs_vals, _interpret,
-                        _residual_vals, _tile_plan)
+from .stencil2d import (_HALO, _gs_vals, _interpret, _residual_vals,
+                        _tile_plan)
 
 # Ghost rows exchanged per fused smoothing stage (both sides). 8 rows
 # supports 4 fused RB-GS sweeps (staleness 2 rows/sweep) or 8 Jacobi
@@ -47,11 +48,12 @@ def max_fused_sweeps(kind: str) -> int:
     return HALO_ROWS // 2 if kind == "rbgs" else HALO_ROWS
 
 
-def _masks(n, grow0, ps, shape):
+def _masks(n, grow0, gcol0, ps, shape):
     """(interior, red) for a window at local row ps of a tile whose local
-    row 0 has global row index grow0 (traced)."""
+    (row 0, col 0) has global indices (grow0, gcol0) — both traced; a row
+    decomposition passes gcol0 = 0 (columns unsharded)."""
     grow = grow0 + ps + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    gcol = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    gcol = gcol0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     interior = (grow >= 1) & (grow <= n) & (gcol >= 1) & (gcol <= n)
     red = ((grow + gcol) % 2) == 0
     return interior, red
@@ -66,6 +68,7 @@ def _make_local_kernel(compute_tile, n: int, r: int, c: int, dtype):
                in_sems, out_sems):
         sigma = sigma_ref[0, 0]
         grow0 = off_ref[0, 0]
+        gcol0 = off_ref[0, 1]
 
         def offsets(i):
             oo = jnp.minimum(i * t, r - t)
@@ -98,7 +101,8 @@ def _make_local_kernel(compute_tile, n: int, r: int, c: int, dtype):
             for cp in in_copies(i, slot):
                 cp.wait()
             oo, ps = offsets(i)
-            vals = compute_tile(ubuf[slot], bbuf[slot], sigma, grow0, ps)
+            vals = compute_tile(ubuf[slot], bbuf[slot], sigma, grow0, gcol0,
+                                ps)
 
             @pl.when(i >= 2)
             def _():
@@ -148,7 +152,12 @@ def _make_local_kernel(compute_tile, n: int, r: int, c: int, dtype):
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # Window + Mosaic stack temporaries sit right at the
+                # 16 MB default scoped limit on 4k-wide tiles (measured
+                # 16.61 MB); physical VMEM is ~128 MB — raise it.
+                vmem_limit_bytes=48 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=10 * r * c, transcendentals=0,
                 bytes_accessed=3 * r * c * jnp.dtype(dtype).itemsize),
@@ -165,9 +174,9 @@ def _rbgs_call(n: int, r: int, c: int, h: float, dtype_name: str,
     dtype = jnp.dtype(dtype_name)
     h2 = h * h
 
-    def compute(u, b, sigma, grow0, ps):
+    def compute(u, b, sigma, grow0, gcol0, ps):
         inv_den = 1.0 / (4.0 - sigma * h2)
-        interior, red = _masks(n, grow0, ps, u.shape)
+        interior, red = _masks(n, grow0, gcol0, ps, u.shape)
         redm = interior & red
         blackm = interior & (~red)
         for _ in range(sweeps):
@@ -185,8 +194,8 @@ def _jacobi_call(n: int, r: int, c: int, h: float, omega: float,
     dtype = jnp.dtype(dtype_name)
     inv_h2 = 1.0 / (h * h)
 
-    def compute(u, b, sigma, grow0, ps):
-        interior, _ = _masks(n, grow0, ps, u.shape)
+    def compute(u, b, sigma, grow0, gcol0, ps):
+        interior, _ = _masks(n, grow0, gcol0, ps, u.shape)
         for _ in range(sweeps):
             res = _residual_vals(u, b, inv_h2, sigma)
             vals = u + (omega / (4.0 * inv_h2 - sigma)) * res
@@ -201,9 +210,9 @@ def _residual_call(n: int, r: int, c: int, h: float, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     inv_h2 = 1.0 / (h * h)
 
-    def compute(u, b, sigma, grow0, ps):
+    def compute(u, b, sigma, grow0, gcol0, ps):
         vals = _residual_vals(u, b, inv_h2, sigma)
-        interior, _ = _masks(n, grow0, ps, u.shape)
+        interior, _ = _masks(n, grow0, gcol0, ps, u.shape)
         return jnp.where(interior, vals, jnp.zeros_like(u))
 
     return _make_local_kernel(compute, n, r, c, dtype)
@@ -213,36 +222,42 @@ def _scal(v, dtype):
     return jnp.asarray(v, dtype=dtype).reshape(1, 1)
 
 
+def _offs(row_off, col_off):
+    return jnp.stack([jnp.asarray(row_off, jnp.int32),
+                      jnp.asarray(col_off, jnp.int32)]).reshape(1, 2)
+
+
 def rbgs_sweep(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float,
-               row_off, sigma=0.0, sweeps: int = 1) -> jax.Array:
+               row_off, col_off=0, sigma=0.0, sweeps: int = 1) -> jax.Array:
     """`sweeps` fused RB-GS sweeps on an aligned halo-extended tile.
 
     u_ext/b_ext: aligned (8k, 128k) embedding of the halo-extended local
-    tile; n: GLOBAL interior size; row_off: global row index of local
-    row 0 (traced int; from ``axis_index``)."""
+    tile; n: GLOBAL interior size; row_off/col_off: global indices of
+    local (row 0, col 0) (traced ints; from ``axis_index``; col_off = 0
+    for a row decomposition, whose columns carry the global padding)."""
     r, c = u_ext.shape
     call = _rbgs_call(n, r, c, float(h), jnp.dtype(u_ext.dtype).name,
                       sweeps)
-    return call(_scal(sigma, u_ext.dtype), _scal(row_off, jnp.int32),
+    return call(_scal(sigma, u_ext.dtype), _offs(row_off, col_off),
                 u_ext, b_ext)
 
 
 def jacobi_sweep(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float,
-                 omega: float, row_off, sigma=0.0,
+                 omega: float, row_off, col_off=0, sigma=0.0,
                  sweeps: int = 1) -> jax.Array:
     """`sweeps` fused weighted-Jacobi sweeps on an aligned extended tile."""
     r, c = u_ext.shape
     call = _jacobi_call(n, r, c, float(h), float(omega),
                         jnp.dtype(u_ext.dtype).name, sweeps)
-    return call(_scal(sigma, u_ext.dtype), _scal(row_off, jnp.int32),
+    return call(_scal(sigma, u_ext.dtype), _offs(row_off, col_off),
                 u_ext, b_ext)
 
 
 def residual(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float,
-             row_off, sigma=0.0) -> jax.Array:
+             row_off, col_off=0, sigma=0.0) -> jax.Array:
     """r = b - (A - sigma I) u on an aligned extended tile (zero outside
     the global interior)."""
     r, c = u_ext.shape
     call = _residual_call(n, r, c, float(h), jnp.dtype(u_ext.dtype).name)
-    return call(_scal(sigma, u_ext.dtype), _scal(row_off, jnp.int32),
+    return call(_scal(sigma, u_ext.dtype), _offs(row_off, col_off),
                 u_ext, b_ext)

@@ -315,103 +315,127 @@ def s_rbgs(u, b, n, h, decomp: Decomp, sigma=0.0):
 
 
 def _local_pallas_ok(u, n, kind, decomp: Decomp) -> bool:
-    """Shard-local Pallas smoothing is available: 2D row decomposition,
-    rbgs/jacobi, tile big enough to amortize a kernel and deep enough to
-    hold the 8-row exchanged halo."""
+    """Shard-local Pallas smoothing is available: 2D row or block
+    decomposition, rbgs/jacobi, tile big enough to amortize a kernel
+    and deep enough along every sharded axis to hold the 8-deep
+    exchanged halo."""
     from ..kernels import PALLAS_MIN_N
     from ..kernels.local2d import HALO_ROWS
 
-    return (u.ndim == 2 and len(decomp.axes) == 1
-            and decomp.axes[0][0] == 0 and kind in ("rbgs", "jacobi")
-            and n >= PALLAS_MIN_N and u.shape[0] >= HALO_ROWS
-            and u.shape[0] % 2 == 0)
+    if not (u.ndim == 2 and kind in ("rbgs", "jacobi")
+            and n >= PALLAS_MIN_N):
+        return False
+    for a, _, _ in decomp.axes:
+        if u.shape[a] < HALO_ROWS or u.shape[a] % 2 != 0:
+            return False
+    return True
 
 
-def _ext_aligned(u, ma: str, ndev: int, hh: int):
-    """Halo-extend a local row tile by hh pre-sweep ghost rows each side
-    (one ppermute pair) and embed it in the 2D-aligned layout."""
-    m, cpad = u.shape
-    r8 = -(-(m + 2 * hh) // 8) * 8
-    c128 = -(-cpad // 128) * 128
-    near = jax.lax.ppermute(u[-hh:], ma, _perm_down(ndev))
-    far = jax.lax.ppermute(u[:hh], ma, _perm_up(ndev))
-    return jnp.pad(jnp.concatenate([near, u, far], axis=0),
-                   ((0, r8 - m - 2 * hh), (0, c128 - cpad)))
+def _ext_aligned(u, decomp: Decomp, hh: int):
+    """Halo-extend a local tile by hh pre-sweep ghost entries on every
+    sharded axis and embed it in the 2D-aligned layout. Axes extend in
+    order (rows first, then columns), so the column slabs of a block
+    decomposition carry the already-extended rows — the corner ghosts
+    the multi-sweep overlap-recompute needs arrive without any diagonal
+    communication."""
+    for a, ma, ndev in decomp.axes:
+        v = jnp.moveaxis(u, a, 0)
+        near = jax.lax.ppermute(v[-hh:], ma, _perm_down(ndev))
+        far = jax.lax.ppermute(v[:hh], ma, _perm_up(ndev))
+        u = jnp.moveaxis(jnp.concatenate([near, v, far], axis=0), 0, a)
+    rows, cols = u.shape
+    r8 = -(-rows // 8) * 8
+    c128 = -(-cols // 128) * 128
+    return jnp.pad(u, ((0, r8 - rows), (0, c128 - cols)))
+
+
+def _local_offsets(u, decomp: Decomp, hh: int):
+    """(row_off, col_off, owned-region slices) of the extended tile.
+
+    Sharded axis: owned entry 0 is global d*m + 1, ghosts shift by hh.
+    Unsharded axis: local index == global index (tile carries the global
+    padding), offset 0 and the full padded extent kept."""
+    offs, sls = [], []
+    for a in range(2):
+        info = decomp.info(a)
+        m = u.shape[a]
+        if info is not None:
+            ma, _ = info
+            offs.append(jax.lax.axis_index(ma) * m + 1 - hh)
+            sls.append(slice(hh, hh + m))
+        else:
+            offs.append(0)
+            sls.append(slice(0, m))
+    return offs[0], offs[1], tuple(sls)
 
 
 def _s_smooth_pallas(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp,
                      sigma=0.0):
     """Fused shard-local Pallas smoothing (kernels/local2d.py).
 
-    One ppermute pair exchanges HALO_ROWS pre-sweep ghost rows, the
-    whole stage runs as ONE kernel over the halo-extended aligned tile
-    (ghost-region overlap-recompute keeps owned rows EXACTLY equal to
-    the global sweep — vs the jnp path's re-exchange per half-sweep),
-    and the owned rows are sliced back out. Measured on the chip: the
-    k=12 mesh-of-1 sharded cycle drops 12.5 -> 5.2 ms (BASELINE.md).
+    One ppermute pair per sharded axis exchanges HALO_ROWS pre-sweep
+    ghost entries, the whole stage runs as ONE kernel over the
+    halo-extended aligned tile (ghost-region overlap-recompute keeps
+    owned entries EXACTLY equal to the global sweep — vs the jnp path's
+    re-exchange per half-sweep), and the owned region is sliced back
+    out. Measured on the chip: the k=12 mesh-of-1 sharded cycle drops
+    12.5 -> 4.2 ms (BASELINE.md).
     """
     from ..kernels import local2d
 
-    _, ma, ndev = decomp.axes[0]
     hh = local2d.HALO_ROWS
-    m, cpad = u.shape
     max_f = local2d.max_fused_sweeps(kind)
-    # Global row of extended-tile row 0: owned row 0 is global d*m + 1.
-    row_off = jax.lax.axis_index(ma) * m + 1 - hh
+    row_off, col_off, owned = _local_offsets(u, decomp, hh)
 
     while sweeps > 0:
         s = min(sweeps, max_f)
-        ue = _ext_aligned(u, ma, ndev, hh)
-        be = _ext_aligned(b, ma, ndev, hh)
+        ue = _ext_aligned(u, decomp, hh)
+        be = _ext_aligned(b, decomp, hh)
         if kind == "rbgs":
-            out = local2d.rbgs_sweep(ue, be, n, h, row_off, sigma=sigma,
-                                     sweeps=s)
+            out = local2d.rbgs_sweep(ue, be, n, h, row_off, col_off,
+                                     sigma=sigma, sweeps=s)
         else:
             out = local2d.jacobi_sweep(ue, be, n, h, omega, row_off,
-                                       sigma=sigma, sweeps=s)
-        u = out[hh:hh + m, :cpad]
+                                       col_off, sigma=sigma, sweeps=s)
+        u = out[owned]
         sweeps -= s
     return u
 
 
 def _s_residual_pallas(u, b, n, h, decomp: Decomp, sigma=0.0):
-    """Shard-local Pallas residual (1-row halo suffices; the 8-row
+    """Shard-local Pallas residual (1-deep halo suffices; the 8-deep
     exchange is reused for layout uniformity — the slabs are tiny)."""
     from ..kernels import local2d
 
-    _, ma, ndev = decomp.axes[0]
     hh = local2d.HALO_ROWS
-    m, cpad = u.shape
-    row_off = jax.lax.axis_index(ma) * m + 1 - hh
-    ue = _ext_aligned(u, ma, ndev, hh)
-    be = _ext_aligned(b, ma, ndev, hh)
-    out = local2d.residual(ue, be, n, h, row_off, sigma=sigma)
-    return out[hh:hh + m, :cpad]
+    row_off, col_off, owned = _local_offsets(u, decomp, hh)
+    ue = _ext_aligned(u, decomp, hh)
+    be = _ext_aligned(b, decomp, hh)
+    out = local2d.residual(ue, be, n, h, row_off, col_off, sigma=sigma)
+    return out[owned]
 
 
 def _s_smooth_residual_pallas(u, b, n, h, *, kind, omega, sweeps,
                               decomp: Decomp, sigma=0.0):
     """Down-leg pair (smooth^nu, residual) from ONE halo exchange and
     ONE extended-tile build: after s sweeps the ghost region is exact to
-    depth HALO_ROWS - 2s rows, so for 2s < HALO_ROWS the residual kernel
-    can run directly on the smoothed extended tile — no re-exchange.
+    depth HALO_ROWS - 2s, so for 2s < HALO_ROWS the residual kernel can
+    run directly on the smoothed extended tile — no re-exchange.
     Returns (u_smoothed, r), both owned tiles."""
     from ..kernels import local2d
 
-    _, ma, ndev = decomp.axes[0]
     hh = local2d.HALO_ROWS
-    m, cpad = u.shape
-    row_off = jax.lax.axis_index(ma) * m + 1 - hh
-    ue = _ext_aligned(u, ma, ndev, hh)
-    be = _ext_aligned(b, ma, ndev, hh)
+    row_off, col_off, owned = _local_offsets(u, decomp, hh)
+    ue = _ext_aligned(u, decomp, hh)
+    be = _ext_aligned(b, decomp, hh)
     if kind == "rbgs":
-        us = local2d.rbgs_sweep(ue, be, n, h, row_off, sigma=sigma,
-                                sweeps=sweeps)
+        us = local2d.rbgs_sweep(ue, be, n, h, row_off, col_off,
+                                sigma=sigma, sweeps=sweeps)
     else:
-        us = local2d.jacobi_sweep(ue, be, n, h, omega, row_off,
+        us = local2d.jacobi_sweep(ue, be, n, h, omega, row_off, col_off,
                                   sigma=sigma, sweeps=sweeps)
-    r = local2d.residual(us, be, n, h, row_off, sigma=sigma)
-    return us[hh:hh + m, :cpad], r[hh:hh + m, :cpad]
+    r = local2d.residual(us, be, n, h, row_off, col_off, sigma=sigma)
+    return us[owned], r[owned]
 
 
 def s_smooth(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp, sigma=0.0,

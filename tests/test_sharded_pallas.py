@@ -97,6 +97,31 @@ def test_sharded_pallas_pcg_and_eigen(monkeypatch):
 
 
 @needs_8
+@pytest.mark.parametrize("smoother,mesh_shape", [("rbgs", (4, 2)),
+                                                 ("rbgs", (2, 2)),
+                                                 ("jacobi", (4, 2))])
+def test_sharded_pallas_block_decomp(smoother, mesh_shape, monkeypatch):
+    """Block decompositions (both axes sharded): the sequential row-then-
+    column halo extension carries the corner ghosts the multi-sweep
+    overlap-recompute needs — sharded == unsharded point-for-point."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=6, dtype=jnp.float64, smoother=smoother,
+                tol=1e-8, agglom_rows=4)
+    prob = mg.poisson2d(**base)
+    ref = mg.MultigridSolver(prob).solve()
+    mesh = sharded.make_block_mesh(mesh_shape)
+    got = sharded.ShardedSolver(SolverConfig(ndim=2, **base,
+                                             use_pallas=True),
+                                mesh).solve(prob.b)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.res_history),
+                               np.asarray(ref.res_history),
+                               rtol=1e-6, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
+
+
+@needs_8
 def test_small_tiles_fall_back(monkeypatch):
     """Tiles shallower than the 8-row halo (k=5 on 8 devices: m=4) must
     fall back to the jnp path and still match unsharded."""
