@@ -52,6 +52,14 @@ _BM = 128
 _BN = 128
 
 
+def _cdt(dtype):
+    """Accumulator dtype for a storage dtype (the packed2d `_cdt` rule):
+    float32 for <=32-bit storage, float64 for float64 — an f64 BELL apply
+    must accumulate its k-step partial products at f64, and bf16 storage
+    must not round its accumulator to 8 mantissa bits per grid step."""
+    return jnp.float64 if jnp.dtype(dtype) == jnp.float64 else jnp.float32
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class BELL:
@@ -131,6 +139,7 @@ def bell_from_scipy(a, dtype=jnp.float32, kmax: int | None = None) -> BELL:
 @functools.lru_cache(maxsize=None)
 def _spmm_call(nbr: int, kmax: int, nbc: int, m: int, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
 
     def kernel(cols_ref, d_ref, x_ref, o_ref):
         del cols_ref  # consumed by the index maps
@@ -139,11 +148,14 @@ def _spmm_call(nbr: int, kmax: int, nbc: int, m: int, dtype_name: str):
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
 
+        # The VMEM-resident output tile IS the accumulator across a block
+        # row's k steps — it must live in `cdt`, not the storage dtype
+        # (per-step narrowing silently computed f64 SpMMs at f32).
         o_ref[...] += jax.lax.dot_general(
             x_ref[...], d_ref[0, 0],
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(dtype)
+            preferred_element_type=cdt,
+            precision=jax.lax.Precision.HIGHEST).astype(cdt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -156,10 +168,11 @@ def _spmm_call(nbr: int, kmax: int, nbc: int, m: int, dtype_name: str):
         out_specs=pl.BlockSpec((m, _BM), lambda i, k, cols: (0, i)),
     )
 
+    del dtype  # output narrows to storage dtype in the spmm() wrapper
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, nbr * _BM), dtype),
+        out_shape=jax.ShapeDtypeStruct((m, nbr * _BM), cdt),
         interpret=_interpret(),
     )
 
@@ -179,7 +192,7 @@ def spmm(a: BELL, xt: jax.Array) -> jax.Array:
     if xt.shape[1] < nbc * _BN:
         xt = jnp.pad(xt, ((0, 0), (0, nbc * _BN - xt.shape[1])))
     call = _spmm_call(a.nbr, a.kmax, nbc, m, jnp.dtype(xt.dtype).name)
-    return call(a.cols, a.data, xt)
+    return call(a.cols, a.data, xt).astype(xt.dtype)
 
 
 def spmv(a: BELL, x: jax.Array) -> jax.Array:

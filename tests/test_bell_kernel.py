@@ -46,6 +46,25 @@ def test_spmm_matches_scipy(nbr, nbc, density, n_r, n_c):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_spmm_f64_accumulates_at_f64():
+    """f64 BELL SpMM must match an f64 oracle to near-roundoff — the
+    kernel's VMEM accumulator must not narrow to f32 per k step (the
+    round-2 packed2d bug class; VERDICT.md round-3 item 5)."""
+    a_sp = _block_random(4, 3, 0.6, seed=17).astype(np.float64)
+    a = bell.bell_from_scipy(a_sp, dtype=jnp.float64)
+    assert a.data.dtype == jnp.float64
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((a_sp.shape[1], 16))
+    want = (a_sp @ x).T
+
+    xt = jnp.zeros((16, -(-a_sp.shape[1] // 128) * 128), jnp.float64)
+    xt = xt.at[:, :a_sp.shape[1]].set(jnp.asarray(x.T))
+    got = bell.spmm(a, xt)
+    assert got.dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(got)[:, :a_sp.shape[0]], want,
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_spmv_matches_scipy():
     a_sp = _block_random(3, 4, 0.5, seed=11, n_r=333, n_c=420)
     a = bell.bell_from_scipy(a_sp)
