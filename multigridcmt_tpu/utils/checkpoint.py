@@ -43,13 +43,23 @@ def load_state(path: str) -> Dict[str, Any]:
     return ckptr.restore(os.path.abspath(path))
 
 
-def resume_solve(solver, path: str):
-    """Resume an interrupted `MultigridSolver.solve` from a snapshot.
+def resume_solve(solver, path: str, b=None, **solve_kwargs):
+    """Resume an interrupted solve from a snapshot.
 
-    Restarts the outer iteration with x0 = saved x; the returned result's
-    history is the post-resume tail.
+    Works against both ``MultigridSolver`` (b defaults to the problem's
+    RHS) and ``ShardedSolver`` (pass the padded RHS as ``b``, or save it
+    in the snapshot via ``extra={"b": ...}``). Restarts the outer
+    iteration with x0 = saved x — V-cycle iteration is a fixed-point map,
+    so the returned result's history is the post-resume tail of the same
+    algorithm the uninterrupted solve runs. Extra kwargs (e.g.
+    ``method="pcg"``) pass through to ``solver.solve``.
     """
     state = load_state(path)
     import jax.numpy as jnp
 
-    return solver.solve(x0=jnp.asarray(state["x"]))
+    x0 = jnp.asarray(state["x"])
+    if b is None and "b" in state:
+        b = jnp.asarray(state["b"])
+    if b is None:
+        return solver.solve(x0=x0, **solve_kwargs)
+    return solver.solve(b, x0=x0, **solve_kwargs)

@@ -61,6 +61,18 @@ def main():
     err = float(np.max(np.abs(np.asarray(res.x) - np.asarray(ref.x))))
     assert err < 1e-9, err
 
+    # Resume path under real jax.distributed (VERDICT.md round-3 item 3):
+    # a capped partial solve warm-starts to convergence in fewer cycles.
+    import dataclasses
+
+    cfg3 = dataclasses.replace(cfg, max_iters=3)
+    part = sharded.ShardedSolver(cfg3, mesh).solve(b)
+    assert not bool(part.converged)
+    resumed = solver.solve(b, x0=part.x)
+    assert bool(resumed.converged)
+    assert int(resumed.iters) < int(res.iters), (int(resumed.iters),
+                                                 int(res.iters))
+
     # Eigensolver I/O path (_to_global of the coarse init, _to_host of the
     # eigenvector block).
     eres = solver.eigensolve(k=1, method="lobpcg", tol=1e-6, max_iters=30)

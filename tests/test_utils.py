@@ -66,6 +66,56 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(resumed.iters) < int(cold.iters)
 
 
+def test_sharded_checkpoint_resume(tmp_path):
+    """Distributed checkpoint/resume (SURVEY.md §5, VERDICT.md round-3
+    item 3): a ShardedSolver warm-starts from a snapshot on the 8-device
+    mesh and beats the cold solve."""
+    pytest.importorskip("orbax.checkpoint")
+    import dataclasses
+
+    from multigridcmt_tpu.parallel import sharded
+
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, smoother="rbgs",
+                        tol=1e-10, max_iters=3, agglom_rows=4)
+    mesh = sharded.make_mesh()                  # 8 virtual CPU devices
+    solver = sharded.ShardedSolver(prob.config, mesh)
+    part = solver.solve(prob.b)
+    assert not bool(part.converged)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_state(path, part.x, part.res_history, part.iters,
+                          extra={"b": prob.b})
+
+    cfg2 = dataclasses.replace(prob.config, tol=1e-9, max_iters=50)
+    solver2 = sharded.ShardedSolver(cfg2, mesh)
+    resumed = checkpoint.resume_solve(solver2, path)   # b from snapshot
+    assert bool(resumed.converged)
+    cold = solver2.solve(prob.b)
+    assert int(resumed.iters) < int(cold.iters)
+    # Warm start through the PCG path too (cg_loop from x0).
+    rpcg = solver2.solve(prob.b, x0=part.x, method="pcg")
+    assert bool(rpcg.converged)
+
+
+def test_sharded_fmg_resume_skips_fmg():
+    """Resuming an fmg-cycle ShardedSolver polishes from x0 with V-cycles
+    (static skip_fmg branch) instead of redoing FMG from scratch."""
+    import dataclasses
+
+    from multigridcmt_tpu.parallel import sharded
+
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, smoother="rbgs",
+                        cycle="fmg", tol=1e-10, max_iters=40,
+                        agglom_rows=4)
+    mesh = sharded.make_mesh()
+    solver = sharded.ShardedSolver(prob.config, mesh)
+    cold = solver.solve(prob.b)
+    assert bool(cold.converged)
+    warm = solver.solve(prob.b, x0=cold.x)
+    assert bool(warm.converged)
+    # x0 is already converged: the warm start needs at most one cycle.
+    assert int(warm.iters) <= 1
+
+
 def test_debug_checked_catches_nan():
     import jax.numpy as jnp
     import pytest
