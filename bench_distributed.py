@@ -39,14 +39,11 @@ def main():
         solver = sharded.ShardedSolver(cfg, sharded.make_mesh())
         b_sh = sharded.shard_rhs(jnp.asarray(prob.b), solver.mesh,
                                  solver.decomp)
-        vfn = solver.v_cycle_fn()
+        vfn = solver.v_cycles_fn()       # m chained cycles, one dispatch
 
         @jax.jit
         def cyc_m(b, m):
-            def body(i, x):
-                return vfn(x, b)
-
-            return jnp.sum(jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
+            return jnp.sum(vfn(jnp.zeros_like(b), b, m)
                            .astype(jnp.float32))
 
         t = _marginal(lambda m: float(cyc_m(b_sh, m)), k1=1, k2=5, reps=6)

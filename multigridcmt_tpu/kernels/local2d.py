@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused2d import _iota2, _smooth_tile
 from .stencil2d import (_HALO, _gs_vals, _interpret, _residual_vals,
                         _tile_plan)
 
@@ -43,9 +44,41 @@ from .stencil2d import (_HALO, _gs_vals, _interpret, _residual_vals,
 # count is a multiple of 8.
 HALO_ROWS = 8
 
+# Coarse tiles use the SAME extended convention as fine tiles (HALO_ROWS
+# ghost entries per side): the down-leg kernel emits its coarse RHS
+# directly in this layout, so a coarse level's input is one ghost-slab
+# refresh away — and the coarse level's up-leg OUTPUT is, in turn,
+# directly the parent's correction operand (zero relayout copies through
+# the whole cycle). The fine<->coarse extended-coordinate mapping is
+# static because the device index cancels out of the ownership formulas:
+# global f = 2*jc maps to ext rows p = 2*q' + (1 + hh - 2*hc) = 2*q' - 7.
+COARSE_HALO = HALO_ROWS
+
 
 def max_fused_sweeps(kind: str) -> int:
     return HALO_ROWS // 2 if kind == "rbgs" else HALO_ROWS
+
+
+def max_down_sweeps(kind: str) -> int:
+    """Pre-sweeps one down_leg call fuses: the residual (+1) and the
+    restriction (+1) eat two rows of the ghost-staleness budget."""
+    return ((HALO_ROWS - 2) // 2 if kind == "rbgs" else HALO_ROWS - 2)
+
+
+def max_up_sweeps(kind: str) -> int:
+    """Post-sweeps one up_leg call fuses. The caller refreshes the fine
+    tile's and the coarse operand's ghosts first; two rows of halo budget
+    are reserved for the zero-filled 2-hop coarse ghosts a shallow
+    (mc < HALO_ROWS) coarse fallback tile can carry
+    (parallel.sharded._ext_coarse_tile)."""
+    return ((HALO_ROWS - 2) // 2 if kind == "rbgs" else HALO_ROWS - 2)
+
+
+def ext_rows(m: int) -> int:
+    """Extended-tile physical rows for m owned entries: m + 2*HALO_ROWS
+    rounded to 16 (the whole-leg kernels halve row offsets, which must
+    stay 8-aligned)."""
+    return -(-(m + 2 * HALO_ROWS) // 16) * 16
 
 
 def _masks(n, grow0, gcol0, ps, shape):
@@ -261,3 +294,460 @@ def residual(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float,
     call = _residual_call(n, r, c, float(h), jnp.dtype(u_ext.dtype).name)
     return call(_scal(sigma, u_ext.dtype), _offs(row_off, col_off),
                 u_ext, b_ext)
+
+
+# ---------------------------------------------------------------------------
+# Whole-leg shard-local kernels (VERDICT.md round-3 item 1): one kernel per
+# V-cycle leg over the halo-extended tile, row decompositions.
+#
+# Index algebra (the reason these work at all): per sharded axis, device d
+# owns fine entries d*m+1 .. (d+1)*m and coarse entries d*mc+1 .. (d+1)*mc
+# (mc = m/2). The extended fine tile's row p is global g = row_off + p with
+# row_off = d*m + 1 - hh; local coarse q is global jc = crow_off + q with
+# crow_off = d*mc + 1 (down leg, owned-only output) or crow_off - hc (up
+# leg, hc-extended input). Substituting, the device index d CANCELS:
+#
+#   down:  jc's full-weighting reads g = 2jc-1..2jc+1, i.e. extended rows
+#          p = 2q + hh .. 2q + hh + 2 — a STATIC mapping;
+#   up:    even global f (p odd, row_off is always odd) reads q' with
+#          p = 2q' + 1 + hh - 2hc = 2q' + 1 (hc = hh/2); odd f (p even)
+#          reads q' = p/2 and p/2 - 1.
+#
+# So the cross-resolution selection/interpolation matrices are the same
+# static iota constructions as fused2d.py; only the interior/color masks
+# carry the traced global offsets (SMEM, as in the kernels above).
+#
+# Ghost-staleness budget (hh = 8 rows exchanged per side):
+#   down: nu1 sweeps cost 2*nu1 (RB-GS) or nu1 (Jacobi) rows, residual +1,
+#         restriction +1 -> coarse owned rows exact iff 2*nu1 + 2 <= hh.
+#   up:   the coarse ghost at local q' = -1 is NOT exchanged, so the
+#         prolonged correction is exact only from fine ghost depth 2
+#         inward; nu2 sweeps then need 2*nu2 <= hh - 2.
+# ---------------------------------------------------------------------------
+
+_T_DN = 64        # down-leg fine output rows per tile (multiple of 16)
+_H_LO = 8         # loaded rows below the output window
+_H_HI = 16        # loaded rows above it — the +hh+1 coarse row shift means
+                  # a tile's coarse rows read up to 8 rows PAST its fine
+                  # output rows (p = 2q + hh + 2 for the last owned q)
+_T_UP = 48        # up-leg fine output rows per tile (multiple of 16)
+_H_UP = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
+                   h: float, kind: str, omega: float, sweeps: int,
+                   dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    h2 = h * h
+    inv_h2 = 1.0 / h2
+    rcr = ext_rows(m // 2)           # coarse output in EXT layout
+    if r <= _T_DN + _H_LO + _H_HI:
+        t, lt, nt = r, r, 1
+    else:
+        t = _T_DN
+        lt = t + _H_LO + _H_HI
+        nt = -(-r // t)
+    tc = t // 2
+    mc = m // 2
+    hh = HALO_ROWS
+    nb = c // 256                    # full 256->128 lane blocks
+    rem = (c % 256) // 128
+    # Coarse ghost/pad rows the tiles never write (tiles cover ext rows
+    # [hh, hh + r//2)): the hh near-ghost rows and any far pad.
+    zr_far = rcr - (r // 2 + hh)
+
+    def kernel(sigma_ref, off_ref, u_hbm, b_hbm, u_out, rc_out,
+               ubuf, bbuf, obuf, cbuf, zbuf, in_sems, out_sems, z_sem):
+        sigma = sigma_ref[0, 0]
+        grow0 = off_ref[0, 0]
+        gcol0 = off_ref[0, 1]
+
+        zbuf[:, :] = jnp.zeros((hh, cc), dtype)
+        zcp0 = pltpu.make_async_copy(
+            zbuf, rc_out.at[pl.ds(0, hh), :], z_sem)
+        zcp0.start()
+        zcp0.wait()
+        if zr_far > 0:
+            zcp1 = pltpu.make_async_copy(
+                zbuf.at[pl.ds(0, zr_far), :],
+                rc_out.at[pl.ds(r // 2 + hh, zr_far), :], z_sem)
+            zcp1.start()
+            zcp1.wait()
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            ps = jnp.clip(oo - _H_LO, 0, r - lt)
+            return pl.multiple_of(oo, 16), pl.multiple_of(ps, 8)
+
+        def in_copies(i, slot):
+            _, ps = offsets(i)
+            return (
+                pltpu.make_async_copy(u_hbm.at[pl.ds(ps, lt), :],
+                                      ubuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[pl.ds(ps, lt), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        for cp in in_copies(0, 0):
+            cp.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cp in in_copies(i + 1, nxt):
+                    cp.start()
+
+            for cp in in_copies(i, slot):
+                cp.wait()
+            oo, ps = offsets(i)
+            interior, red = _masks(n, grow0, gcol0, ps, (lt, c))
+            u = _smooth_tile(ubuf[slot], bbuf[slot], sigma, interior, red,
+                             h2, kind, omega, sweeps)
+
+            # Park the smoothed window in obuf right away (fused2d
+            # pattern): its live range ends here instead of spanning the
+            # restriction below.
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, pl.ds(0, t), :],
+                    u_out.at[pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
+                    out_sems.at[slot, 1]).wait()
+
+            obuf[slot, :, :] = u
+
+            res = _residual_vals(obuf[slot], bbuf[slot], inv_h2, sigma)
+            res = jnp.where(interior, res, jnp.zeros_like(res))
+
+            # Row full-weighting at every window row.
+            tvals = (0.25 * pltpu.roll(res, 1, 0) + 0.5 * res
+                     + 0.25 * pltpu.roll(res, lt - 1, 0))
+
+            # Coarse row extraction: local coarse q0 + qi has its center
+            # at extended row 2*(q0 + qi) + hh + 1, window coordinate
+            # wc + 2*qi. Out-of-window values self-mask (the iota
+            # comparison never matches), which only ever drops rows the
+            # gq < mc mask zeroes anyway.
+            co = oo - ps
+            q0 = pl.multiple_of(oo // 2, 8)
+            wc = 2 * q0 + hh + 1 - ps
+            qsel = (_iota2((tc, lt), 1)
+                    == wc + 2 * _iota2((tc, lt), 0)).astype(dtype)
+            rows_c = jax.lax.dot_general(
+                qsel, tvals, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+
+            # Column full-weighting + even-lane extraction (columns are
+            # unsharded: global col == lane, fused2d pattern verbatim).
+            scol = (0.25 * pltpu.roll(rows_c, 1, 1) + 0.5 * rows_c
+                    + 0.25 * pltpu.roll(rows_c, c - 1, 1))
+            esel = (_iota2((256, 128), 0)
+                    == 2 * _iota2((256, 128), 1)).astype(dtype)
+            crow0 = (grow0 + hh + 1) // 2       # global jc of local q = 0
+            gjc = crow0 + q0 + _iota2((tc, 128), 0)
+            gq = q0 + _iota2((tc, 128), 0)
+
+            for blk in range(nb + rem):
+                w = 256 if blk < nb else 128
+                seg = scol[:, blk * 256: blk * 256 + w]
+                sel = esel[:w, : w // 2]
+                ext = jax.lax.dot_general(
+                    seg, sel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
+                gcc = blk * 128 + _iota2((tc, w // 2), 1)
+                cmask = ((gq[:, : w // 2] < mc)
+                         & (gjc[:, : w // 2] <= nc)
+                         & (gcc >= 1) & (gcc <= nc))
+                cbuf[slot, :, blk * 128: blk * 128 + w // 2] = jnp.where(
+                    cmask, ext, jnp.zeros_like(ext))
+            filled = 128 * nb + 64 * rem
+            if filled < cc:
+                cbuf[slot, :, filled:] = jnp.zeros((tc, cc - filled), dtype)
+
+            pltpu.make_async_copy(
+                obuf.at[slot, pl.ds(pl.multiple_of(co, 8), t), :],
+                u_out.at[pl.ds(oo, t), :], out_sems.at[slot, 0]).start()
+            # Coarse rows land at +hh: the output is in the same extended
+            # convention as the fine tiles (ghost rows zeroed above).
+            pltpu.make_async_copy(
+                cbuf.at[slot], rc_out.at[pl.ds(q0 + hh, tc), :],
+                out_sems.at[slot, 1]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                slot = (nt - 1 - j) % 2
+                pltpu.make_async_copy(
+                    obuf.at[slot, pl.ds(0, t), :],
+                    u_out.at[pl.ds(0, t), :], out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
+                    out_sems.at[slot, 1]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+
+    scratch = [
+        pltpu.VMEM((2, lt, c), dtype),        # ubuf
+        pltpu.VMEM((2, lt, c), dtype),        # bbuf
+        pltpu.VMEM((2, lt, c), dtype),        # obuf (smoothed window)
+        pltpu.VMEM((2, tc, cc), dtype),       # cbuf (coarse rows)
+        pltpu.VMEM((hh, cc), dtype),          # zbuf (coarse ghost zeros)
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA,
+    ]
+
+    def call(sigma_arr, off_arr, u, b):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((r, c), dtype),
+                       jax.ShapeDtypeStruct((rcr, cc), dtype)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=64 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=(12 * sweeps + 17) * r * c, transcendentals=0,
+                bytes_accessed=(3 * r * c + rcr * cc)
+                * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, off_arr, u, b)
+
+    return call
+
+
+def down_leg(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float, m: int,
+             row_off, col_off=0, *, kind: str, omega: float, sweeps: int,
+             sigma=0.0):
+    """(smooth^sweeps, residual, restrict) of a V-cycle down leg in ONE
+    kernel over the halo-extended shard tile (row decompositions).
+
+    u_ext/b_ext: aligned (16j, 128j) embeddings of the hh-extended local
+    tile; m: owned row count; n: GLOBAL fine interior size. Returns
+    (u_smoothed_ext, rc_ext): the smoothed full extended tile (ghost rows
+    STALE — re-exchange before reuse) and the coarse RHS in the SAME
+    extended convention — shape (ext_rows(m/2), round128(nc+2)), owned
+    rows at [HALO_ROWS, HALO_ROWS + m/2), ghost rows ZERO (exchange them
+    to make it the coarse level's input).
+
+    Requires sweeps <= max_down_sweeps(kind); columns unsharded.
+    """
+    from ..grids import aligned_shape
+
+    assert 0 <= sweeps <= max_down_sweeps(kind), sweeps
+    r, c = u_ext.shape
+    assert r % 16 == 0, r
+    nc = (n - 1) // 2
+    cc = aligned_shape(nc)[1]
+    call = _down_leg_call(n, nc, m, r, c, cc, float(h), kind, float(omega),
+                          sweeps, jnp.dtype(u_ext.dtype).name)
+    return call(_scal(sigma, u_ext.dtype), _offs(row_off, col_off),
+                u_ext, b_ext)
+
+
+@functools.lru_cache(maxsize=None)
+def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
+                 cc: int, h: float, kind: str, omega: float, sweeps: int,
+                 dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    h2 = h * h
+    if r <= _T_UP + 2 * _H_UP:
+        t, ltf, nt = r, r, 1
+        ltc = rcr
+    else:
+        t = _T_UP
+        ltf = t + 2 * _H_UP
+        nt = -(-r // t)
+        # Coarse rows needed for fine window [pf, pf+ltf): the p = 2q'-7
+        # mapping reads q' in [(pf+6)/2, (pf+ltf+7)/2], span ltf/2 + 1;
+        # +8 slack for the 8-aligned pc below.
+        ltc = min(t // 2 + 24, rcr)
+
+    def kernel(sigma_ref, off_ref, x_hbm, e_hbm, b_hbm, out_hbm,
+               xbuf, bbuf, ebuf, rbuf, obuf, in_sems, out_sems):
+        sigma = sigma_ref[0, 0]
+        grow0 = off_ref[0, 0]
+        gcol0 = off_ref[0, 1]
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            pf = jnp.clip(oo - _H_UP, 0, r - ltf)
+            pc = jnp.clip(((pf // 2) // 8) * 8, 0, rcr - ltc)
+            return (pl.multiple_of(oo, 16), pl.multiple_of(pf, 8),
+                    pl.multiple_of(pc, 8))
+
+        def in_copies(i, slot):
+            _, pf, pc = offsets(i)
+            return (
+                pltpu.make_async_copy(x_hbm.at[pl.ds(pf, ltf), :],
+                                      xbuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[pl.ds(pf, ltf), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+                pltpu.make_async_copy(e_hbm.at[pl.ds(pc, ltc), :],
+                                      ebuf.at[slot], in_sems.at[slot, 2]),
+            )
+
+        for cp in in_copies(0, 0):
+            cp.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cp in in_copies(i + 1, nxt):
+                    cp.start()
+
+            for cp in in_copies(i, slot):
+                cp.wait()
+            oo, pf, pc = offsets(i)
+
+            # Row interpolation in EXTENDED coordinates (static mapping,
+            # see module notes): fine ext row pp is an even global row
+            # iff pp is odd (row_off is always odd); its coarse source
+            # sits at ext row qq with pp = 2*qq - 7; odd global rows
+            # (pp even) average the two neighbors 2*qq == pp + 6, pp + 8.
+            pp = pf + _iota2((ltf, ltc), 0)
+            qq = pc + _iota2((ltf, ltc), 1)
+            podd = (pp % 2) == 1
+            rsel = (jnp.where(podd & (2 * qq == pp + 7), 1.0, 0.0)
+                    + jnp.where((~podd) & ((2 * qq == pp + 6)
+                                           | (2 * qq == pp + 8)), 0.5, 0.0)
+                    ).astype(dtype)
+            rows_f = jax.lax.dot_general(
+                rsel, ebuf[slot], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+
+            # Column interpolation, 128 coarse -> 256 fine lanes per block
+            # (columns unsharded: global col == lane; fused2d pattern).
+            mm = _iota2((128, 256), 0)
+            g = _iota2((128, 256), 1)
+            m1 = ((g == 2 * mm).astype(dtype)
+                  + 0.5 * (g == 2 * mm + 1).astype(dtype)
+                  + 0.5 * (g == 2 * mm - 1).astype(dtype))
+            m2 = 0.5 * ((mm == 127) & (g == 255)).astype(dtype)
+            cs = pltpu.roll(rows_f, cc - 1, 1)
+            interior, red = _masks(n, grow0, gcol0, pf, (ltf, c))
+            w = xbuf[slot]
+            for blk in range(cc // 128):
+                lo = blk * 256
+                wdt = min(256, c - lo)
+                if wdt <= 0:
+                    break
+                seg = rows_f[:, blk * 128:(blk + 1) * 128]
+                segs = cs[:, blk * 128:(blk + 1) * 128]
+                pe = (jax.lax.dot_general(
+                          seg, m1, (((1,), (0,)), ((), ())),
+                          preferred_element_type=dtype,
+                          precision=jax.lax.Precision.HIGHEST)
+                      + jax.lax.dot_general(
+                          segs, m2, (((1,), (0,)), ((), ())),
+                          preferred_element_type=dtype,
+                          precision=jax.lax.Precision.HIGHEST))
+                rbuf[:, lo:lo + wdt] = pe[:, :wdt].astype(dtype)
+            w = jnp.where(interior, w + rbuf[:, :], w)
+
+            w = _smooth_tile(w, bbuf[slot], sigma, interior, red, h2, kind,
+                             omega, sweeps)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, pl.ds(0, t), :],
+                    out_hbm.at[pl.ds(0, t), :], out_sems.at[slot]).wait()
+
+            obuf[slot, :, :] = w
+            pltpu.make_async_copy(
+                obuf.at[slot, pl.ds(pl.multiple_of(oo - pf, 8), t), :],
+                out_hbm.at[pl.ds(oo, t), :], out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[(nt - 1 - j) % 2, pl.ds(0, t), :],
+                    out_hbm.at[pl.ds(0, t), :],
+                    out_sems.at[(nt - 1 - j) % 2]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+
+    scratch = [
+        pltpu.VMEM((2, ltf, c), dtype),       # xbuf
+        pltpu.VMEM((2, ltf, c), dtype),       # bbuf
+        pltpu.VMEM((2, ltc, cc), dtype),      # ebuf
+        pltpu.VMEM((ltf, c), dtype),          # rbuf (interpolated P e)
+        pltpu.VMEM((2, ltf, c), dtype),       # obuf
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def call(sigma_arr, off_arr, x, e, b):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((r, c), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=64 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=(12 * sweeps + 4) * r * c, transcendentals=0,
+                bytes_accessed=(3 * r * c + rcr * cc)
+                * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, off_arr, x, e, b)
+
+    return call
+
+
+def up_leg(x_ext: jax.Array, e_ext: jax.Array, b_ext: jax.Array, n: int,
+           nc: int, h: float, m: int, row_off, col_off=0, *, kind: str,
+           omega: float, sweeps: int, sigma=0.0) -> jax.Array:
+    """smooth^sweeps(x + P e) of a V-cycle up leg in ONE kernel over the
+    halo-extended shard tile (row decompositions).
+
+    x_ext/b_ext: aligned embeddings of the hh-extended fine tile with
+    EXACT ghosts; e_ext: the coarse correction in the extended-tile
+    convention, shape (ext_rows(m/2), round128(nc+2)) with EXACT ghosts
+    (e.g. a refreshed down_leg coarse output after the coarse recursion,
+    or directly a refreshed coarse-level up_leg output). Returns the full
+    extended smoothed tile (ghost rows stale).
+    Requires sweeps <= max_up_sweeps(kind).
+    """
+    assert 0 <= sweeps <= max_up_sweeps(kind), sweeps
+    r, c = x_ext.shape
+    rcr, cc = e_ext.shape
+    assert r % 16 == 0 and rcr == ext_rows(m // 2), (r, rcr, m)
+    call = _up_leg_call(n, nc, m, r, c, rcr, cc, float(h), kind,
+                        float(omega), sweeps, jnp.dtype(x_ext.dtype).name)
+    return call(_scal(sigma, x_ext.dtype), _offs(row_off, col_off),
+                x_ext, e_ext, b_ext)

@@ -331,22 +331,78 @@ def _local_pallas_ok(u, n, kind, decomp: Decomp) -> bool:
     return True
 
 
-def _ext_aligned(u, decomp: Decomp, hh: int):
+def _ext_aligned(u, decomp: Decomp, hh: int, r_mult: int = 8):
     """Halo-extend a local tile by hh pre-sweep ghost entries on every
     sharded axis and embed it in the 2D-aligned layout. Axes extend in
     order (rows first, then columns), so the column slabs of a block
     decomposition carry the already-extended rows — the corner ghosts
     the multi-sweep overlap-recompute needs arrive without any diagonal
-    communication."""
+    communication. ``r_mult=16`` for the whole-leg kernels (their coarse
+    DMA offsets are fine-row offsets halved, which must stay 8-aligned)."""
     for a, ma, ndev in decomp.axes:
         v = jnp.moveaxis(u, a, 0)
         near = jax.lax.ppermute(v[-hh:], ma, _perm_down(ndev))
         far = jax.lax.ppermute(v[:hh], ma, _perm_up(ndev))
         u = jnp.moveaxis(jnp.concatenate([near, v, far], axis=0), 0, a)
     rows, cols = u.shape
-    r8 = -(-rows // 8) * 8
+    r8 = -(-rows // r_mult) * r_mult
     c128 = -(-cols // 128) * 128
     return jnp.pad(u, ((0, r8 - rows), (0, c128 - cols)))
+
+
+def _refresh_ext(ue, decomp: Decomp, hh: int, m: int):
+    """Re-exchange the ghost rows of an extended tile in place.
+
+    After a kernel leg the owned rows [hh, hh+m) are exact but the ghost
+    regions are stale; this swaps fresh owned-edge slabs with the mesh
+    neighbors and writes them into the ghost rows — two slab ppermutes +
+    two slab updates instead of rebuilding the whole extended tile
+    (a full concatenate copy) from the owned slice."""
+    (a, ma, ndev), = decomp.axes          # row decompositions only
+    assert a == 0
+    near = jax.lax.ppermute(ue[m:hh + m], ma, _perm_down(ndev))
+    far = jax.lax.ppermute(ue[hh:2 * hh], ma, _perm_up(ndev))
+    ue = jax.lax.dynamic_update_slice_in_dim(ue, near, 0, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(ue, far, hh + m, axis=0)
+
+
+def _ext_coarse_tile(ec, decomp: Decomp, rows_out: int, cols_out: int):
+    """HALO_ROWS-extend an owned coarse tile (ppermute) and embed it in
+    the (rows_out, cols_out) extended convention for up_leg.
+
+    When the owned tile is shallower than the halo (mc < HALO_ROWS), the
+    ghost region's outer rows would belong to devices two hops away;
+    they are zero-filled instead. The rows-convention is preserved
+    (ghost depth stays HALO_ROWS), and exactness from ghost depth
+    2*(HALO_ROWS - mc) inward is all max_up_sweeps' staleness budget
+    needs (mc >= HALO_ROWS/2 on every leg-path level)."""
+    from ..kernels.local2d import HALO_ROWS as hh
+
+    (a, ma, ndev), = decomp.axes
+    hc = min(hh, ec.shape[0])
+    near = jax.lax.ppermute(ec[-hc:], ma, _perm_down(ndev))
+    far = jax.lax.ppermute(ec[:hc], ma, _perm_up(ndev))
+    zpad = jnp.zeros((hh - hc,) + ec.shape[1:], ec.dtype)
+    ee = jnp.concatenate([zpad, near, ec, far], axis=0)
+    return jnp.pad(ee, ((0, rows_out - ee.shape[0]),
+                        (0, cols_out - ee.shape[1])))
+
+
+def _slice_coarse_ext(full, decomp: Decomp, rows_out: int, cols_out: int):
+    """Replicated full padded coarse grid -> my HALO_ROWS-extended tile
+    for up_leg — a local slice, no communication (the agglomeration-
+    crossing twin of _ext_coarse_tile)."""
+    from ..kernels.local2d import HALO_ROWS as hh
+
+    (a, ma, ndev), = decomp.axes
+    mc = (full.shape[0] - 1) // ndev
+    d = jax.lax.axis_index(ma)
+    # Pad by hh so edge devices read zeros (== ppermute edge semantics,
+    # == the Dirichlet ghosts), then slice rows d*mc + 1 - hh .. + mc+2hh.
+    fp = jnp.pad(full, ((hh, hh), (0, 0)))
+    ee = jax.lax.dynamic_slice_in_dim(fp, d * mc + 1, mc + 2 * hh, axis=0)
+    return jnp.pad(ee, ((0, rows_out - ee.shape[0]),
+                        (0, cols_out - ee.shape[1])))
 
 
 def _local_offsets(u, decomp: Decomp, hh: int):
@@ -568,6 +624,108 @@ def _scatter_local(full, decomp: Decomp):
     return full
 
 
+def _leg_level_ok(cfg: SolverConfig, decomp: Decomp, level: int) -> bool:
+    """STATIC check: whole-leg shard-local kernels available at a level —
+    2D row decomposition, rbgs/jacobi within the fused-sweep staleness
+    budgets, the level sharded with a tile deep enough for the halo."""
+    from ..kernels import PALLAS_MIN_N, local2d
+
+    if not (cfg.use_pallas and cfg.ndim == 2
+            and len(decomp.axes) == 1 and decomp.axes[0][0] == 0
+            and cfg.smoother in ("rbgs", "jacobi")
+            and cfg.nu1 <= local2d.max_down_sweeps(cfg.smoother)
+            and cfg.nu2 <= local2d.max_up_sweeps(cfg.smoother)
+            and level < cfg.k - 1
+            and _is_sharded(cfg, decomp, level)):
+        return False
+    n = 2 ** (cfg.k - level) - 1
+    m = _level_rows(cfg.k, level) // decomp.axes[0][2]
+    return n >= PALLAS_MIN_N and m % 2 == 0 and m >= local2d.HALO_ROWS
+
+
+def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
+                   xe, be, level: int, gamma: int, sigma,
+                   fresh: bool = False):
+    """One cycle level on the whole-leg kernel path (VERDICT.md round-3
+    item 1), entirely in EXTENDED tile layout: the down leg (smooth^nu1
+    -> residual -> restrict) and the up leg (prolong -> correct ->
+    smooth^nu2) each run as ONE Pallas kernel; the down leg emits the
+    coarse RHS already in extended layout, so a sharded coarse level is
+    one ghost-slab refresh away and its up-leg output chains straight
+    back as this level's correction operand — zero relayout copies
+    between kernels.
+
+    xe/be: extended aligned tiles; xe's ghosts may be stale unless
+    ``fresh``. Returns the post-smoothed extended tile (ghosts STALE)."""
+    from ..kernels import local2d
+
+    hh = local2d.HALO_ROWS
+    spec = hier.levels[level]
+    n, h = spec.n, spec.h
+    omega = cfg.effective_omega()
+    (_, ma, nd), = decomp.axes
+    m = _level_rows(cfg.k, level) // nd
+    mc = m // 2
+    row_off = jax.lax.axis_index(ma) * m + 1 - hh
+    if not fresh:
+        xe = _refresh_ext(xe, decomp, hh, m)
+    us_ext, rc_ext = local2d.down_leg(xe, be, n, h, m, row_off,
+                                      kind=cfg.smoother, omega=omega,
+                                      sweeps=cfg.nu1, sigma=sigma)
+    ncoarse = hier.levels[level + 1].n
+    if _leg_level_ok(cfg, decomp, level + 1):
+        be_c = _refresh_ext(rc_ext, decomp, hh, mc)
+        ec = jnp.zeros_like(be_c)
+        for g in range(gamma):
+            ec = _leg_cycle_ext(hier, cfg, decomp, ec, be_c, level + 1,
+                                gamma, sigma, fresh=(g == 0))
+        ee = _refresh_ext(ec, decomp, hh, mc)
+    elif _is_sharded(cfg, decomp, level + 1):
+        # Sharded but below the kernel thresholds: owned-tile recursion.
+        rc = rc_ext[hh:hh + mc, :ncoarse + 2]
+        ec = jnp.zeros_like(rc)
+        for _ in range(gamma):
+            ec = _sharded_v_cycle(hier, cfg, decomp, ec, rc,
+                                  level + 1, gamma, sigma)
+        ee = _ext_coarse_tile(ec, decomp, rc_ext.shape[0],
+                              rc_ext.shape[1])
+    else:
+        # Agglomerate: gather the coarse RHS, recurse replicated; the
+        # up-leg kernel then reads this device's coarse slice directly
+        # from the replicated result — no scatter communication.
+        cfg_repl = dataclasses.replace(cfg, use_pallas=False)
+        rc = rc_ext[hh:hh + mc, :ncoarse + 2]
+        rc_full = _gather_full(rc, decomp)
+        ec_full = jnp.zeros_like(rc_full)
+        for _ in range(gamma):
+            ec_full = cycles.v_cycle(hier, ec_full, rc_full, cfg_repl,
+                                     level=level + 1, gamma=gamma,
+                                     sigma=sigma)
+        ee = _slice_coarse_ext(ec_full, decomp, rc_ext.shape[0],
+                               rc_ext.shape[1])
+    xe2 = _refresh_ext(us_ext, decomp, hh, m)
+    return local2d.up_leg(xe2, ee, be, n, ncoarse, h, m, row_off,
+                          kind=cfg.smoother, omega=omega, sweeps=cfg.nu2,
+                          sigma=sigma)
+
+
+def _sharded_v_cycle_leg(hier: Hierarchy, cfg: SolverConfig,
+                         decomp: Decomp, x, b, level: int, gamma: int,
+                         sigma):
+    """Owned-tile entry to the ext-form whole-leg cycle (used by the PCG
+    preconditioner and the eigensolver inner solves; the MG solve loop
+    carries extended tiles across cycles itself — see _build_solve)."""
+    from ..kernels import local2d
+
+    hh = local2d.HALO_ROWS
+    _, _, owned = _local_offsets(x, decomp, hh)
+    xe = _ext_aligned(x, decomp, hh, r_mult=16)
+    be = _ext_aligned(b, decomp, hh, r_mult=16)
+    out = _leg_cycle_ext(hier, cfg, decomp, xe, be, level, gamma, sigma,
+                         fresh=True)
+    return out[owned]
+
+
 def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
                      x, b, level: int, gamma: int = 1, sigma=0.0):
     """Recursive cycle; per-level arrays are owned tiles while the level is
@@ -588,6 +746,9 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
         # Replicated region: identical unsharded cycle on every device.
         return cycles.v_cycle(hier, x, b, cfg_repl, level=level,
                               gamma=gamma, sigma=sigma)
+    if _leg_level_ok(cfg, decomp, level):
+        return _sharded_v_cycle_leg(hier, cfg, decomp, x, b, level,
+                                    gamma, sigma)
     # Down-leg smooth+residual share one halo exchange and extended-tile
     # build on the kernel path (residual ghost reads stay exact while
     # 2*nu1 < HALO_ROWS for rbgs / nu1 < HALO_ROWS for jacobi).
@@ -785,9 +946,42 @@ class ShardedSolver:
             n, h = hier.fine.n, hier.fine.h
             b_norm = jnp.sqrt(_psum_sq(b, decomp))
             b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
-            r0 = jnp.sqrt(_psum_sq(
-                s_residual(x, b, n, h, decomp,
-                           use_pallas=cfg.use_pallas), decomp)) / b_norm
+            leg = _leg_level_ok(cfg, decomp, 0)
+            if leg:
+                # Ext-carried loop: b's extended tile is built ONCE
+                # (loop-invariant) and x stays in extended layout across
+                # cycles — the convergence check's residual runs on the
+                # refreshed tile the next cycle reuses.
+                from ..kernels import local2d
+
+                hh = local2d.HALO_ROWS
+                m = x.shape[0]
+                row_off, _, owned = _local_offsets(x, decomp, hh)
+                be = _ext_aligned(b, decomp, hh, r_mult=16)
+                x = _ext_aligned(x, decomp, hh, r_mult=16)
+
+                def res_rel(xe_fresh):
+                    r = local2d.residual(xe_fresh, be, n, h, row_off)
+                    ro = r[owned]
+                    return jnp.sqrt(jax.lax.psum(
+                        jnp.sum(ro * ro), decomp.mesh_axes)) / b_norm
+
+                def one_cycle(xe):
+                    xe = _leg_cycle_ext(hier, cfg, decomp, xe, be, 0,
+                                        gamma, 0.0, fresh=True)
+                    return _refresh_ext(xe, decomp, hh, m)
+            else:
+                def res_rel(xx):
+                    return jnp.sqrt(_psum_sq(
+                        s_residual(xx, b, n, h, decomp,
+                                   use_pallas=cfg.use_pallas),
+                        decomp)) / b_norm
+
+                def one_cycle(xx):
+                    return _sharded_v_cycle(hier, cfg, decomp, xx, b, 0,
+                                            gamma)
+
+            r0 = res_rel(x)
             hist0 = jnp.full((cfg.max_iters + 1,), r0, dtype=b.dtype)
 
             # Stall + divergence guards, as in cycles.solve.
@@ -798,16 +992,16 @@ class ShardedSolver:
 
             def body(st):
                 x, k_it, hist, rel, stall, div = st
-                x = _sharded_v_cycle(hier, cfg, decomp, x, b, 0, gamma)
-                new_rel = jnp.sqrt(_psum_sq(
-                    s_residual(x, b, n, h, decomp,
-                               use_pallas=cfg.use_pallas), decomp)) / b_norm
+                x = one_cycle(x)
+                new_rel = res_rel(x)
                 stall, div = cycles.step_guards(new_rel, rel, stall, div)
                 hist = hist.at[k_it + 1].set(new_rel)
                 return x, k_it + 1, hist, new_rel, stall, div
 
             x, iters, hist, rel, _, _ = jax.lax.while_loop(
                 cond, body, (x, 0, hist0, r0, 0, 0))
+            if leg:
+                x = x[owned]
             idx = jnp.arange(cfg.max_iters + 1)
             hist = jnp.where(idx <= iters, hist, rel)
             return x, iters, hist, rel < cfg.tol
@@ -1249,4 +1443,47 @@ class ShardedSolver:
         return jax.jit(shard_map(
             one_cycle, mesh=self.mesh,
             in_specs=(decomp.spec(), decomp.spec()),
+            out_specs=decomp.spec(), check_vma=False))
+
+    def v_cycles_fn(self):
+        """jitted fn(x_tiles, b_tiles, m) -> x_tiles: m CHAINED cycles in
+        one dispatch — what the solve loop actually runs per iteration.
+        On the whole-leg kernel path the chain carries the extended-
+        layout tile (b's extended tile built once, ghost-slab refreshes
+        between cycles), so this measures the real per-cycle marginal
+        without per-call relayout at the owned-tile boundary."""
+        cfg, hier, decomp = self.config, self.hierarchy, self.decomp
+        gamma = 2 if cfg.cycle == "w" else 1
+        leg = _leg_level_ok(cfg, decomp, 0)
+
+        def many(x, b, mreps):
+            if leg:
+                from ..kernels import local2d
+
+                hh = local2d.HALO_ROWS
+                m = x.shape[0]
+                _, _, owned = _local_offsets(x, decomp, hh)
+                be = _ext_aligned(b, decomp, hh, r_mult=16)
+                xe = _ext_aligned(x, decomp, hh, r_mult=16)
+                xe = _leg_cycle_ext(hier, cfg, decomp, xe, be, 0, gamma,
+                                    0.0, fresh=True)
+
+                def body(i, xe):
+                    return _leg_cycle_ext(hier, cfg, decomp, xe, be, 0,
+                                          gamma, 0.0, fresh=False)
+
+                xe = jax.lax.fori_loop(0, mreps - 1, body, xe)
+                return xe[owned]
+
+            def body(i, xx):
+                return _sharded_v_cycle(hier, cfg, decomp, xx, b, 0,
+                                        gamma)
+
+            return jax.lax.fori_loop(0, mreps, body, x)
+
+        from jax import shard_map
+
+        return jax.jit(shard_map(
+            many, mesh=self.mesh,
+            in_specs=(decomp.spec(), decomp.spec(), P()),
             out_specs=decomp.spec(), check_vma=False))

@@ -135,3 +135,54 @@ def test_small_tiles_fall_back(monkeypatch):
     assert int(got.iters) == int(ref.iters)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=1e-8, atol=1e-12)
+
+
+@needs_8
+@pytest.mark.parametrize("smoother,nu", [("rbgs", 2), ("rbgs", 3),
+                                         ("jacobi", 6)])
+def test_whole_leg_kernels_multiwindow(smoother, nu, monkeypatch):
+    """Whole-leg down/up kernels (local2d.down_leg/up_leg) at k=10 on 8
+    row-devices: m=128 local rows -> MULTI-window pipelines in both
+    kernels (single-window tests hide double-buffer bugs), several
+    sharded levels, nu at the staleness-budget boundary (rbgs 3 = max
+    down sweeps; jacobi 6). Pinned: identical residual history and
+    solution vs the sharded jnp path at fp64 (the kernels' MXU-matrix
+    restriction sums in a different order than the jnp separable passes,
+    so equality is to a few eps — verified: one full cycle differs by
+    <= 8e-16 max over the grid; a real staleness bug would show
+    value-scale errors at shard boundaries)."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=10, dtype=jnp.float64, smoother=smoother, nu1=nu,
+                nu2=nu, tol=1e-10, max_iters=4, agglom_rows=4)
+    prob = mg.poisson2d(**base)
+    sj = sharded.ShardedSolver(SolverConfig(ndim=2, **base), _mesh())
+    sp = sharded.ShardedSolver(SolverConfig(ndim=2, **base,
+                                            use_pallas=True), _mesh())
+    rj = sj.solve(prob.b)
+    rp = sp.solve(prob.b)
+    assert int(rj.iters) == int(rp.iters)
+    np.testing.assert_allclose(np.asarray(rp.res_history),
+                               np.asarray(rj.res_history),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rp.x), np.asarray(rj.x),
+                               rtol=1e-8, atol=1e-12)
+
+
+@needs_8
+def test_whole_leg_shifted_operator(monkeypatch):
+    """sigma-shifted cycles (eigensolver inner solves) through the
+    whole-leg kernels: distributed RQI matches the single-device result."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=6, dtype=jnp.float64, smoother="rbgs", tol=1e-8,
+                agglom_rows=8)
+    cfg = SolverConfig(ndim=2, **base, use_pallas=True)
+    s = sharded.ShardedSolver(cfg, _mesh())
+    got = s.eigensolve(k=1, method="rqi", tol=1e-8, max_iters=40)
+    assert bool(got.converged)
+    from multigridcmt_tpu.grids import build_hierarchy
+    from multigridcmt_tpu.solvers import eigen as seigen
+    ref = seigen.eigensolve(build_hierarchy(SolverConfig(ndim=2, **base)),
+                            SolverConfig(ndim=2, **base), k=1,
+                            method="rqi", tol=1e-8, max_iters=40)
+    lam, lam_ref = float(got.eigenvalues[0]), float(ref.eigenvalues[0])
+    assert abs(lam - lam_ref) / lam_ref < 1e-8
