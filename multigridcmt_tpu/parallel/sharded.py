@@ -1205,48 +1205,33 @@ class ShardedSolver:
             f2 = f2 / nrm[:, None]
             return f2.reshape(w.shape), lam
 
-        rqi_active_tol, rqi_polish_tol = 1e-2, 1e-5
-
         def local_eigen(v):
-            lam0, res0 = rayleigh(v)
-            hist0 = jnp.full((max_iters + 1,), res0, dtype=dtype)
+            # Outer recurrence + RQI shift schedule live in the shared
+            # driver (solvers.eigen.ii_loop — single source of
+            # RQI_ACTIVE_TOL/RQI_POLISH_TOL/RQI_BACKOFF).
+            def inner(vv, sigma):
+                if sigma is None:
+                    sigma = jnp.zeros((k,), dtype=dtype)
+                return inner_solve(vv, sigma)
 
-            def cond(st):
-                _, _, it, _, res, div = st
-                return ((res >= tol) & (it < max_iters)
-                        & (div < cycles.EIGEN_DIVERGE_TOTAL))
-
-            def body(st):
-                v, lam, it, hist, res, div = st
-                if method == "rqi":
-                    # Shift back-off as in solvers.eigen: strictly below
-                    # lambda_min keeps every level SPD; drop the shift in
-                    # the endgame so plain II polishes to tol.
-                    on = (res < rqi_active_tol) & (res > rqi_polish_tol)
-                    sigma = jnp.where(on, lam * 0.9, jnp.zeros_like(lam))
-                else:
-                    sigma = jnp.zeros_like(lam)
-                w = inner_solve(v, sigma)
-                v2, lam2 = ritz(w)
-                lam2b, res2 = rayleigh(v2)
-                div = cycles.eigen_guard(res2, res, div)
-                hist = hist.at[it + 1].set(res2)
-                return v2, lam2b, it + 1, hist, res2, div
-
-            v, lam, iters, hist, res, _ = jax.lax.while_loop(
-                cond, body, (v, lam0, 0, hist0, res0, 0))
-            idx = jnp.arange(max_iters + 1)
-            hist = jnp.where(idx <= iters, hist, res)
+            v, lam, iters, hist, res = seigen.ii_loop(
+                v, rayleigh=rayleigh, inner_solve=inner, ritz=ritz,
+                method=method, tol=tol, max_iters=max_iters, dtype=dtype)
             return v, lam, iters, hist, res < tol
 
         from jax import shard_map
 
-        fn = jax.jit(shard_map(
-            local_eigen, mesh=self.mesh,
-            in_specs=decomp.spec(leading_none=1),
-            out_specs=(decomp.spec(leading_none=1), P(), P(), P(), P()),
-            check_vma=False,
-        ))
+        key = ("eigen", method, k, tol, max_iters, inner_cycles,
+               inner_tol)
+        fn = self._solve_fns.get(key)
+        if fn is None:
+            fn = self._solve_fns[key] = jax.jit(shard_map(
+                local_eigen, mesh=self.mesh,
+                in_specs=decomp.spec(leading_none=1),
+                out_specs=(decomp.spec(leading_none=1), P(), P(), P(),
+                           P()),
+                check_vma=False,
+            ))
 
         # Nested-iteration start (replicated, host-side setup as in the
         # single-device path), sharded into owned tiles.
@@ -1357,7 +1342,9 @@ class ShardedSolver:
             return jnp.einsum("mi,m...->i...", c, s)
 
         def local_lobpcg(v):
-            # orthonormalize the prolonged coarse start over the mesh
+            # orthonormalize the prolonged coarse start over the mesh;
+            # the recurrence itself is the shared driver
+            # (solvers.eigen.lobpcg_loop).
             g0 = gram(v, v)
             ell0 = jnp.linalg.cholesky(
                 g0 + 100.0 * jnp.finfo(dtype).eps * jnp.trace(g0)
@@ -1366,54 +1353,25 @@ class ShardedSolver:
                 ell0, jnp.eye(k, dtype=dtype), lower=True)
             x = combine(li0.T, v)
 
-            lam, r, res0 = rq_res(x)
-            hist = jnp.full((max_iters + 1,), res0, dtype=dtype)
-            w = safe_rownorm(project_out(tcycle(r), x),
-                             jnp.asarray(0.0, dtype))
-            s = jnp.concatenate([x, w], axis=0)
-            c, _ = rr(s, k)
-            x1 = safe_rownorm(combine(c, s), jnp.asarray(0.5, dtype))
-            p1 = safe_rownorm(combine(c[k:, :], w), jnp.asarray(1.0, dtype))
-            lam1, _, res1 = rq_res(x1)
-            hist = hist.at[1].set(res1)
-
-            def cond(st):
-                _, _, _, it, _, res, div = st
-                return ((res >= tol) & (it < max_iters)
-                        & (div < cycles.EIGEN_DIVERGE_TOTAL))
-
-            def body(st):
-                x, p, lam, it, hist, res, div = st
-                _, r, _ = rq_res(x)
-                salt = it.astype(dtype)
-                w = safe_rownorm(project_out(tcycle(r), x),
-                                 2.0 * salt + 2.0)
-                p = safe_rownorm(
-                    project_out(p, jnp.concatenate([x, w], axis=0)),
-                    2.0 * salt + 3.0)
-                s = jnp.concatenate([x, w, p], axis=0)
-                c, _ = rr(s, k)
-                xn = safe_rownorm(combine(c, s), 2.0 * salt + 4.0)
-                pn = combine(c[k:, :], s[k:])
-                lam2, _, res2 = rq_res(xn)
-                div = cycles.eigen_guard(res2, res, div)
-                hist = hist.at[it + 1].set(res2)
-                return xn, pn, lam2, it + 1, hist, res2, div
-
-            x, p, lam, iters, hist, res, _ = jax.lax.while_loop(
-                cond, body, (x1, p1, lam1, 1, hist, res1, 0))
-            idx = jnp.arange(max_iters + 1)
-            hist = jnp.where(idx <= iters, hist, res)
+            x, lam, iters, hist, res = seigen.lobpcg_loop(
+                x, k=k, rq_res=rq_res, tcycle=tcycle,
+                project_out=project_out, safe_rownorm=safe_rownorm,
+                rr=rr, combine=combine, tol=tol, max_iters=max_iters,
+                dtype=dtype)
             return x, lam, iters, hist, res < tol
 
         from jax import shard_map
 
-        fn = jax.jit(shard_map(
-            local_lobpcg, mesh=self.mesh,
-            in_specs=decomp.spec(leading_none=1),
-            out_specs=(decomp.spec(leading_none=1), P(), P(), P(), P()),
-            check_vma=False,
-        ))
+        key = ("lobpcg", k, tol, max_iters, precond_cycles)
+        fn = self._solve_fns.get(key)
+        if fn is None:
+            fn = self._solve_fns[key] = jax.jit(shard_map(
+                local_lobpcg, mesh=self.mesh,
+                in_specs=decomp.spec(leading_none=1),
+                out_specs=(decomp.spec(leading_none=1), P(), P(), P(),
+                           P()),
+                check_vma=False,
+            ))
 
         v0 = seigen.coarse_init(self.hierarchy, k, dtype)
         sl = (slice(None),) + tuple(

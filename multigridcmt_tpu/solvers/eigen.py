@@ -56,6 +56,128 @@ def _orthonormalize(f: jax.Array) -> jax.Array:
     return q.T
 
 
+# ---------------------------------------------------------------------------
+# Shared outer-iteration drivers (the cg_loop pattern, krylov.py): the
+# single source of the II/RQI and LOBPCG recurrences and their tuning
+# constants, used by the single-device solvers below AND the distributed
+# twins in parallel/sharded.py — the two differ only in the primitives
+# they inject (plain jnp dots vs mesh psums, vmapped MG solves vs
+# distributed cycles).
+# ---------------------------------------------------------------------------
+
+# RQI shift schedule (see the eigensolve docstring for the derivation):
+# shifts activate once inverse iteration has localized the eigenvalues,
+# and drop again in the endgame so plain II polishes to tol.
+RQI_ACTIVE_TOL = 1e-2
+RQI_POLISH_TOL = 1e-5
+# Back-off floor: the re-discretized coarse operators see lambda_1 with
+# O(h_coarse^2) error (~5% on the 3^2 coarsest grid); a 10% relative gap
+# keeps every level SPD so the shifted MG inner solves converge.
+RQI_BACKOFF = 0.9
+
+
+def ii_loop(v, *, rayleigh, inner_solve, ritz, method: str, tol: float,
+            max_iters: int, dtype, rqi_backoff: float = RQI_BACKOFF):
+    """Block inverse-iteration / RQI outer driver.
+
+    Injected primitives (each in the caller's native block layout):
+      rayleigh(v)        -> (lam (k,), max residual scalar)
+      inner_solve(v, s)  -> MG-solve (A - s_i I) w_i = v_i per row; s is
+                           None for plain II (lets the caller keep the
+                           shift statically zero -> fast coarse solve)
+      ritz(w)            -> (Ritz block, Ritz values)
+
+    Runs inside one lax.while_loop with the cumulative eigen divergence
+    guard (cycles.eigen_guard). Returns (v, lam, iters, hist, res) with
+    hist of static length max_iters + 1, backfilled past iters.
+    """
+    lam0, res0 = rayleigh(v)
+    hist0 = jnp.full((max_iters + 1,), res0, dtype=dtype)
+
+    def cond(st):
+        _, _, it, _, res, div = st
+        return ((res >= tol) & (it < max_iters)
+                & (div < cycles.EIGEN_DIVERGE_TOTAL))
+
+    def body(st):
+        v, lam, it, hist, res, div = st
+        if method == "rqi":
+            shift_on = (res < RQI_ACTIVE_TOL) & (res > RQI_POLISH_TOL)
+            sigma = jnp.where(shift_on, lam * rqi_backoff,
+                              jnp.zeros_like(lam))
+            w = inner_solve(v, sigma)
+        else:
+            w = inner_solve(v, None)
+        v2, _ = ritz(w)
+        lam2, res2 = rayleigh(v2)
+        div = cycles.eigen_guard(res2, res, div)
+        hist = hist.at[it + 1].set(res2)
+        return v2, lam2, it + 1, hist, res2, div
+
+    v, lam, iters, hist, res, _ = jax.lax.while_loop(
+        cond, body, (v, lam0, 0, hist0, res0, 0))
+    idx = jnp.arange(max_iters + 1)
+    hist = jnp.where(idx <= iters, hist, res)
+    return v, lam, iters, hist, res
+
+
+def lobpcg_loop(x, *, k: int, rq_res, tcycle, project_out, safe_rownorm,
+                rr, combine, tol: float, max_iters: int, dtype):
+    """LOBPCG outer driver (Knyazev 2001, "ortho" variant).
+
+    Injected primitives (x is an ORTHONORMAL block in the caller's native
+    layout; rows are block vectors):
+      rq_res(x)            -> (lam, residual block, max residual scalar)
+      tcycle(r)            -> preconditioner (V-cycle(s)) per row
+      project_out(f, base) -> f minus its components along base's rows
+      safe_rownorm(v, salt)-> row-normalize, dead rows -> pseudo-random
+      rr(s, nkeep)         -> Rayleigh-Ritz coefficients (m, nkeep), values
+      combine(c, s)        -> the Ritz block c^T s in the native layout
+
+    Iteration 0 does a RR on [X, W]; the main lax.while_loop on
+    [X, W, P]. Returns (x, lam, iters, hist, res).
+    """
+    lam, r, res0 = rq_res(x)
+    hist = jnp.full((max_iters + 1,), res0, dtype=dtype)
+    w = safe_rownorm(project_out(tcycle(r), x), jnp.asarray(0.0, dtype))
+    s = jnp.concatenate([x, w], axis=0)
+    c, _ = rr(s, k)
+    # Ritz vectors are G-orthonormal by construction (c^T G c = I); a QR
+    # here would scramble the eigenpair ordering, so only row-normalize.
+    x1 = safe_rownorm(combine(c, s), jnp.asarray(0.5, dtype))
+    p1 = safe_rownorm(combine(c[k:, :], w), jnp.asarray(1.0, dtype))
+    lam1, _, res1 = rq_res(x1)
+    hist = hist.at[1].set(res1)
+
+    def cond(st):
+        _, _, _, it, _, res, div = st
+        return ((res >= tol) & (it < max_iters)
+                & (div < cycles.EIGEN_DIVERGE_TOTAL))
+
+    def body(st):
+        x, p, lam, it, hist, res, div = st
+        _, r, _ = rq_res(x)
+        salt = it.astype(dtype)
+        w = safe_rownorm(project_out(tcycle(r), x), 2.0 * salt + 2.0)
+        p = safe_rownorm(
+            project_out(p, jnp.concatenate([x, w], axis=0)),
+            2.0 * salt + 3.0)
+        s = jnp.concatenate([x, w, p], axis=0)
+        c, _ = rr(s, k)
+        xn = safe_rownorm(combine(c, s), 2.0 * salt + 4.0)
+        pn = combine(c[k:, :], s[k:])     # the W+P contribution (Knyazev)
+        lam2, _, res2 = rq_res(xn)
+        div = cycles.eigen_guard(res2, res, div)
+        hist = hist.at[it + 1].set(res2)
+        return xn, pn, lam2, it + 1, hist, res2, div
+
+    x, p, lam, iters, hist, res, _ = jax.lax.while_loop(
+        cond, body, (x1, p1, lam1, 1, hist, res1, 0))
+    idx = jnp.arange(max_iters + 1)
+    hist = jnp.where(idx <= iters, hist, res)
+    return x, lam, iters, hist, res
+
+
 def coarse_init(hier: Hierarchy, k: int, dtype) -> jax.Array:
     """Nested-iteration start: dense eigh on the coarsest level, prolong up.
 
@@ -158,61 +280,25 @@ def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
         lam, s = jnp.linalg.eigh(0.5 * (hmat + hmat.T))
         return _unflat(s.T @ f, n, ndim), lam
 
-    lam0, res0 = rayleigh(v)
-    hist0 = jnp.full((max_iters + 1,), res0, dtype=dtype)
-    # RQI shifts activate once inverse iteration has localized the
-    # eigenvalues. The shift is backed off to lam * (1 - 10 * res): the
-    # Rayleigh quotient overestimates lambda_min by O(res^2), so this sits
-    # strictly BELOW lambda_min — (A - sigma I) stays SPD and multigrid on
-    # it converges — while approaching it at the outer convergence rate,
-    # giving superlinear convergence without the indefinite-operator
-    # breakdown of a textbook sigma = lambda shift.
-    rqi_active_tol = 1e-2
-    rqi_polish_tol = 1e-5
+    # RQI shift schedule (ii_loop): shifts activate once inverse
+    # iteration has localized the eigenvalues (res < RQI_ACTIVE_TOL) —
+    # the backed-off sigma = rqi_backoff * lam sits strictly BELOW
+    # lambda_min (the Rayleigh quotient overestimates it by O(res^2) and
+    # the re-discretized coarse operators see it with ~5% O(h_coarse^2)
+    # error), so (A - sigma I) stays SPD on every level and multigrid on
+    # it converges, giving superlinear convergence without the
+    # indefinite-operator breakdown of a textbook sigma = lambda shift.
+    # Near convergence (res < RQI_POLISH_TOL) the shifted inner solves
+    # can't reach inner_tol within the cycle cap (the nearly-null mode
+    # converges slowly), which would floor the eigen-residual at the
+    # inner error — the endgame drops the shift and lets plain inverse
+    # iteration polish to tol.
+    def inner(vv, sigma):
+        return inner_solve(vv) if sigma is None else inner_solve(vv, sigma)
 
-    def cond(state):
-        v, lam, k_it, hist, res, div = state
-        # Divergence guard (cycles.eigen_guard): a shift that makes a
-        # level indefinite typically makes the eigen-residual OSCILLATE
-        # (the Ritz step renormalizes each iteration), so growths are
-        # counted cumulatively; abort after EIGEN_DIVERGE_TOTAL 10x
-        # growths with converged=False instead of spinning to max_iters.
-        return ((res >= tol) & (k_it < max_iters)
-                & (div < cycles.EIGEN_DIVERGE_TOTAL))
-
-    def body(state):
-        v, lam, k_it, hist, res, div = state
-        if method == "rqi":
-            # Back-off floor: the re-discretized coarse operators see
-            # lambda_1 with O(h_coarse^2) error — ~5% on the 3^2 coarsest
-            # grid — so a shift closer than that makes a coarse level
-            # indefinite and the MG inner solve diverges on that mode.
-            # A 10% relative gap (rqi_backoff=0.9) keeps every level SPD.
-            # Near convergence (res below rqi_polish_tol) the shifted
-            # inner solves can't reach inner_tol within the cycle cap
-            # (the nearly-null mode converges slowly), which would floor
-            # the eigen-residual at the inner error — so the endgame
-            # drops the shift and lets plain inverse iteration polish
-            # to tol.
-            shift_on = (res < rqi_active_tol) & (res > rqi_polish_tol)
-            sigma = jnp.where(shift_on, lam * rqi_backoff,
-                              jnp.zeros_like(lam))
-            w = inner_solve(v, sigma)
-        else:
-            w = inner_solve(v)
-        v2, lam2 = ritz(w)
-        lam2, res2 = _rayleigh_of(v2)
-        div = cycles.eigen_guard(res2, res, div)
-        hist = hist.at[k_it + 1].set(res2)
-        return v2, lam2, k_it + 1, hist, res2, div
-
-    def _rayleigh_of(vv):
-        return rayleigh(vv)
-
-    v, lam, iters, hist, res, _ = jax.lax.while_loop(
-        cond, body, (v, lam0, 0, hist0, res0, 0))
-    idx = jnp.arange(max_iters + 1)
-    hist = jnp.where(idx <= iters, hist, res)
+    v, lam, iters, hist, res = ii_loop(
+        v, rayleigh=rayleigh, inner_solve=inner, ritz=ritz, method=method,
+        tol=tol, max_iters=max_iters, dtype=dtype, rqi_backoff=rqi_backoff)
     return EigenResult(eigenvalues=lam, eigenvectors=v, iters=iters,
                        res_history=hist, converged=res < tol)
 
@@ -325,46 +411,14 @@ def lobpcg(hier: Hierarchy, config: SolverConfig, k: int = 1,
         c = li.T @ y[:, :nkeep]
         return c, theta[:nkeep]
 
-    # --- iteration 0: nested-iteration start, one RR on [X, W] ----------
+    # Nested-iteration start; lobpcg_loop does iteration 0's RR on
+    # [X, W] and the main loop on [X, W, P].
     x = _orthonormalize(_flat(coarse_init(hier, k, dtype), ndim))
-    lam, r, res0 = rq_res(x)
-    hist = jnp.full((max_iters + 1,), res0, dtype=dtype)
-    w = _safe_rownorm(project_out(tcycle(r), x), jnp.asarray(0.0, dtype))
-    s = jnp.concatenate([x, w], axis=0)
-    c, _ = rr(s, k)
-    # Ritz vectors are G-orthonormal by construction (c^T G c = I); a QR
-    # here would scramble the eigenpair ordering, so only row-normalize.
-    x1 = _safe_rownorm(c.T @ s, jnp.asarray(0.5, dtype))
-    p1 = _safe_rownorm(c[k:, :].T @ w, jnp.asarray(1.0, dtype))
-    lam1, _, res1 = rq_res(x1)
-    hist = hist.at[1].set(res1)
-
-    # --- main loop: RR on [X, W, P] --------------------------------------
-    def cond(st):
-        _, _, _, it, _, res, div = st
-        return ((res >= tol) & (it < max_iters)
-                & (div < cycles.EIGEN_DIVERGE_TOTAL))
-
-    def body(st):
-        x, p, lam, it, hist, res, div = st
-        _, r, _ = rq_res(x)
-        salt = it.astype(dtype)
-        w = _safe_rownorm(project_out(tcycle(r), x), 2.0 * salt + 2.0)
-        p = _safe_rownorm(project_out(p, jnp.concatenate([x, w], axis=0)),
-                          2.0 * salt + 3.0)
-        s = jnp.concatenate([x, w, p], axis=0)
-        c, _ = rr(s, k)
-        xn = _safe_rownorm(c.T @ s, 2.0 * salt + 4.0)
-        pn = c[k:, :].T @ s[k:]          # the W+P contribution (Knyazev)
-        lam2, _, res2 = rq_res(xn)
-        div = cycles.eigen_guard(res2, res, div)
-        hist = hist.at[it + 1].set(res2)
-        return xn, pn, lam2, it + 1, hist, res2, div
-
-    x, p, lam, iters, hist, res, _ = jax.lax.while_loop(
-        cond, body, (x1, p1, lam1, 1, hist, res1, 0))
-    idx = jnp.arange(max_iters + 1)
-    hist = jnp.where(idx <= iters, hist, res)
+    x, lam, iters, hist, res = lobpcg_loop(
+        x, k=k, rq_res=rq_res, tcycle=tcycle, project_out=project_out,
+        safe_rownorm=_safe_rownorm, rr=rr,
+        combine=lambda c, s: c.T @ s,
+        tol=tol, max_iters=max_iters, dtype=dtype)
     # eigh returns ascending Ritz values; lam is already sorted.
     return EigenResult(eigenvalues=lam, eigenvectors=_unflat(x, n, ndim),
                        iters=iters, res_history=hist, converged=res < tol)
