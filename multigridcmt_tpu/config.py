@@ -55,12 +55,15 @@ class SolverConfig:
         in place for the nonsymmetric RB-GS cycle) absorbs the rounding,
         converging to full ``dtype`` accuracy at a near-unchanged
         iteration count. Honored ONLY where the cycle runs on kernels
-        adapted for sub-32-bit storage — the color-packed 2D Pallas tier
-        (``ndim == 2``, ``use_pallas``, fine ``n >= kernels.PACK_MIN_N``);
-        everywhere else the cast is skipped and the preconditioner runs in
-        full ``dtype`` (see ``solvers.krylov.mixed_cycle_dtype``). Ignored
-        by the plain stationary solve (``cycles.solve``), which has no
-        high-precision outer correction to lean on.
+        adapted for sub-32-bit storage: single-device, the color-packed
+        2D Pallas tier (``ndim == 2``, ``use_pallas``, fine
+        ``n >= kernels.PACK_MIN_N`` — ``solvers.krylov.
+        mixed_cycle_dtype``); distributed, the whole-leg shard-local
+        tier (2D row decompositions with ``use_pallas`` —
+        ``parallel.sharded.mixed_leg_dtype``). Everywhere else the cast
+        is skipped and the preconditioner runs in full ``dtype``.
+        Ignored by the plain stationary solve (``cycles.solve``), which
+        has no high-precision outer correction to lean on.
       fmg_prolong: interpolation order of FMG's coarse-to-fine *solution*
         walk (SURVEY.md §3.2): "linear" ((bi/tri)linear — the reference's
         choice, and the default so residual histories match the oracle

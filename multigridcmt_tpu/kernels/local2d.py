@@ -326,12 +326,31 @@ def residual(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float,
 # ---------------------------------------------------------------------------
 
 _T_DN = 64        # down-leg fine output rows per tile (multiple of 16)
-_H_LO = 8         # loaded rows below the output window
-_H_HI = 16        # loaded rows above it — the +hh+1 coarse row shift means
-                  # a tile's coarse rows read up to 8 rows PAST its fine
-                  # output rows (p = 2q + hh + 2 for the last owned q)
 _T_UP = 48        # up-leg fine output rows per tile (multiple of 16)
-_H_UP = 8
+
+
+def _cdt(dtype):
+    """In-register compute dtype for a storage dtype: float32 for
+    sub-32-bit storage (bfloat16), else the storage dtype itself — the
+    packed2d mixed-precision rule. bf16 lives only in HBM/VMEM; every
+    tile is widened on read and narrowed on store, so the stencil
+    algebra (1/h^2 ~ 4^k scale — catastrophic for an 8-bit mantissa)
+    runs at full f32, and the coarse RHS a down leg emits is ALWAYS in
+    this dtype, so coarser levels run at full precision automatically.
+    HBM traffic — the kernels' bottleneck — still halves."""
+    dt = jnp.dtype(dtype)
+    return jnp.float32 if dt.itemsize < 4 else dt
+
+
+def _halos(dtype):
+    """(h_lo, h_hi, h_up) tile-halo rows for a storage dtype. Sub-32-bit
+    tiling is (16, 128), so its DMA row offsets must be 16-aligned —
+    deeper tile halos keep every window offset a multiple of 16. (h_hi
+    covers the +hh+1 coarse row shift: a down tile's coarse rows read up
+    to 8 rows past its fine output rows.)"""
+    if jnp.dtype(dtype).itemsize < 4:
+        return 16, 16, 16
+    return 8, 16, 8
 
 
 @functools.lru_cache(maxsize=None)
@@ -339,14 +358,16 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
                    h: float, kind: str, omega: float, sweeps: int,
                    dtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
+    h_lo, h_hi, _ = _halos(dtype)
     h2 = h * h
     inv_h2 = 1.0 / h2
     rcr = ext_rows(m // 2)           # coarse output in EXT layout
-    if r <= _T_DN + _H_LO + _H_HI:
+    if r <= _T_DN + h_lo + h_hi:
         t, lt, nt = r, r, 1
     else:
         t = _T_DN
-        lt = t + _H_LO + _H_HI
+        lt = t + h_lo + h_hi
         nt = -(-r // t)
     tc = t // 2
     mc = m // 2
@@ -363,7 +384,7 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
         grow0 = off_ref[0, 0]
         gcol0 = off_ref[0, 1]
 
-        zbuf[:, :] = jnp.zeros((hh, cc), dtype)
+        zbuf[:, :] = jnp.zeros((hh, cc), cdt)
         zcp0 = pltpu.make_async_copy(
             zbuf, rc_out.at[pl.ds(0, hh), :], z_sem)
         zcp0.start()
@@ -377,8 +398,8 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
 
         def offsets(i):
             oo = jnp.minimum(i * t, r - t)
-            ps = jnp.clip(oo - _H_LO, 0, r - lt)
-            return pl.multiple_of(oo, 16), pl.multiple_of(ps, 8)
+            ps = jnp.clip(oo - h_lo, 0, r - lt)
+            return pl.multiple_of(oo, 16), pl.multiple_of(ps, h_lo)
 
         def in_copies(i, slot):
             _, ps = offsets(i)
@@ -405,8 +426,12 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
                 cp.wait()
             oo, ps = offsets(i)
             interior, red = _masks(n, grow0, gcol0, ps, (lt, c))
-            u = _smooth_tile(ubuf[slot], bbuf[slot], sigma, interior, red,
-                             h2, kind, omega, sweeps)
+            # Tiles are widened to the compute dtype on read and narrowed
+            # on store (identity for f32/f64; the bf16 mixed-precision
+            # rule — see _cdt).
+            bw = bbuf[slot].astype(cdt)
+            u = _smooth_tile(ubuf[slot].astype(cdt), bw, sigma, interior,
+                             red, h2, kind, omega, sweeps)
 
             # Park the smoothed window in obuf right away (fused2d
             # pattern): its live range ends here instead of spanning the
@@ -420,9 +445,10 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
                     cbuf.at[slot], rc_out.at[pl.ds(0, tc), :],
                     out_sems.at[slot, 1]).wait()
 
-            obuf[slot, :, :] = u
+            obuf[slot, :, :] = u.astype(dtype)
 
-            res = _residual_vals(obuf[slot], bbuf[slot], inv_h2, sigma)
+            res = _residual_vals(obuf[slot].astype(cdt), bw, inv_h2,
+                                 sigma)
             res = jnp.where(interior, res, jnp.zeros_like(res))
 
             # Row full-weighting at every window row.
@@ -438,18 +464,18 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
             q0 = pl.multiple_of(oo // 2, 8)
             wc = 2 * q0 + hh + 1 - ps
             qsel = (_iota2((tc, lt), 1)
-                    == wc + 2 * _iota2((tc, lt), 0)).astype(dtype)
+                    == wc + 2 * _iota2((tc, lt), 0)).astype(cdt)
             rows_c = jax.lax.dot_general(
                 qsel, tvals, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+                preferred_element_type=cdt,
+                precision=jax.lax.Precision.HIGHEST).astype(cdt)
 
             # Column full-weighting + even-lane extraction (columns are
             # unsharded: global col == lane, fused2d pattern verbatim).
             scol = (0.25 * pltpu.roll(rows_c, 1, 1) + 0.5 * rows_c
                     + 0.25 * pltpu.roll(rows_c, c - 1, 1))
             esel = (_iota2((256, 128), 0)
-                    == 2 * _iota2((256, 128), 1)).astype(dtype)
+                    == 2 * _iota2((256, 128), 1)).astype(cdt)
             crow0 = (grow0 + hh + 1) // 2       # global jc of local q = 0
             gjc = crow0 + q0 + _iota2((tc, 128), 0)
             gq = q0 + _iota2((tc, 128), 0)
@@ -460,8 +486,8 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
                 sel = esel[:w, : w // 2]
                 ext = jax.lax.dot_general(
                     seg, sel, (((1,), (0,)), ((), ())),
-                    preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
+                    preferred_element_type=cdt,
+                    precision=jax.lax.Precision.HIGHEST).astype(cdt)
                 gcc = blk * 128 + _iota2((tc, w // 2), 1)
                 cmask = ((gq[:, : w // 2] < mc)
                          & (gjc[:, : w // 2] <= nc)
@@ -470,7 +496,7 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
                     cmask, ext, jnp.zeros_like(ext))
             filled = 128 * nb + 64 * rem
             if filled < cc:
-                cbuf[slot, :, filled:] = jnp.zeros((tc, cc - filled), dtype)
+                cbuf[slot, :, filled:] = jnp.zeros((tc, cc - filled), cdt)
 
             pltpu.make_async_copy(
                 obuf.at[slot, pl.ds(pl.multiple_of(co, 8), t), :],
@@ -502,8 +528,8 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
         pltpu.VMEM((2, lt, c), dtype),        # ubuf
         pltpu.VMEM((2, lt, c), dtype),        # bbuf
         pltpu.VMEM((2, lt, c), dtype),        # obuf (smoothed window)
-        pltpu.VMEM((2, tc, cc), dtype),       # cbuf (coarse rows)
-        pltpu.VMEM((hh, cc), dtype),          # zbuf (coarse ghost zeros)
+        pltpu.VMEM((2, tc, cc), cdt),         # cbuf (coarse rows)
+        pltpu.VMEM((hh, cc), cdt),            # zbuf (coarse ghost zeros)
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA,
@@ -513,7 +539,7 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
         return pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((r, c), dtype),
-                       jax.ShapeDtypeStruct((rcr, cc), dtype)),
+                       jax.ShapeDtypeStruct((rcr, cc), cdt)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pl.ANY),
@@ -559,27 +585,30 @@ def down_leg(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float, m: int,
     cc = aligned_shape(nc)[1]
     call = _down_leg_call(n, nc, m, r, c, cc, float(h), kind, float(omega),
                           sweeps, jnp.dtype(u_ext.dtype).name)
-    return call(_scal(sigma, u_ext.dtype), _offs(row_off, col_off),
+    return call(_scal(sigma, _cdt(u_ext.dtype)), _offs(row_off, col_off),
                 u_ext, b_ext)
 
 
 @functools.lru_cache(maxsize=None)
 def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
                  cc: int, h: float, kind: str, omega: float, sweeps: int,
-                 dtype_name: str):
+                 dtype_name: str, out_dtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    odt = jnp.dtype(out_dtype_name)
+    cdt = _cdt(dtype)                # e/compute dtype (coarse is cdt)
+    _, _, h_up = _halos(dtype)
     h2 = h * h
-    if r <= _T_UP + 2 * _H_UP:
+    if r <= _T_UP + 2 * h_up:
         t, ltf, nt = r, r, 1
         ltc = rcr
     else:
         t = _T_UP
-        ltf = t + 2 * _H_UP
+        ltf = t + 2 * h_up
         nt = -(-r // t)
         # Coarse rows needed for fine window [pf, pf+ltf): the p = 2q'-7
         # mapping reads q' in [(pf+6)/2, (pf+ltf+7)/2], span ltf/2 + 1;
         # +8 slack for the 8-aligned pc below.
-        ltc = min(t // 2 + 24, rcr)
+        ltc = min(t // 2 + h_up + 16, rcr)
 
     def kernel(sigma_ref, off_ref, x_hbm, e_hbm, b_hbm, out_hbm,
                xbuf, bbuf, ebuf, rbuf, obuf, in_sems, out_sems):
@@ -589,9 +618,9 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
 
         def offsets(i):
             oo = jnp.minimum(i * t, r - t)
-            pf = jnp.clip(oo - _H_UP, 0, r - ltf)
+            pf = jnp.clip(oo - h_up, 0, r - ltf)
             pc = jnp.clip(((pf // 2) // 8) * 8, 0, rcr - ltc)
-            return (pl.multiple_of(oo, 16), pl.multiple_of(pf, 8),
+            return (pl.multiple_of(oo, 16), pl.multiple_of(pf, h_up),
                     pl.multiple_of(pc, 8))
 
         def in_copies(i, slot):
@@ -632,23 +661,23 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
             rsel = (jnp.where(podd & (2 * qq == pp + 7), 1.0, 0.0)
                     + jnp.where((~podd) & ((2 * qq == pp + 6)
                                            | (2 * qq == pp + 8)), 0.5, 0.0)
-                    ).astype(dtype)
+                    ).astype(cdt)
             rows_f = jax.lax.dot_general(
                 rsel, ebuf[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+                preferred_element_type=cdt,
+                precision=jax.lax.Precision.HIGHEST).astype(cdt)
 
             # Column interpolation, 128 coarse -> 256 fine lanes per block
             # (columns unsharded: global col == lane; fused2d pattern).
             mm = _iota2((128, 256), 0)
             g = _iota2((128, 256), 1)
-            m1 = ((g == 2 * mm).astype(dtype)
-                  + 0.5 * (g == 2 * mm + 1).astype(dtype)
-                  + 0.5 * (g == 2 * mm - 1).astype(dtype))
-            m2 = 0.5 * ((mm == 127) & (g == 255)).astype(dtype)
+            m1 = ((g == 2 * mm).astype(cdt)
+                  + 0.5 * (g == 2 * mm + 1).astype(cdt)
+                  + 0.5 * (g == 2 * mm - 1).astype(cdt))
+            m2 = 0.5 * ((mm == 127) & (g == 255)).astype(cdt)
             cs = pltpu.roll(rows_f, cc - 1, 1)
             interior, red = _masks(n, grow0, gcol0, pf, (ltf, c))
-            w = xbuf[slot]
+            w = xbuf[slot].astype(cdt)
             for blk in range(cc // 128):
                 lo = blk * 256
                 wdt = min(256, c - lo)
@@ -658,17 +687,17 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
                 segs = cs[:, blk * 128:(blk + 1) * 128]
                 pe = (jax.lax.dot_general(
                           seg, m1, (((1,), (0,)), ((), ())),
-                          preferred_element_type=dtype,
+                          preferred_element_type=cdt,
                           precision=jax.lax.Precision.HIGHEST)
                       + jax.lax.dot_general(
                           segs, m2, (((1,), (0,)), ((), ())),
-                          preferred_element_type=dtype,
+                          preferred_element_type=cdt,
                           precision=jax.lax.Precision.HIGHEST))
-                rbuf[:, lo:lo + wdt] = pe[:, :wdt].astype(dtype)
+                rbuf[:, lo:lo + wdt] = pe[:, :wdt].astype(cdt)
             w = jnp.where(interior, w + rbuf[:, :], w)
 
-            w = _smooth_tile(w, bbuf[slot], sigma, interior, red, h2, kind,
-                             omega, sweeps)
+            w = _smooth_tile(w, bbuf[slot].astype(cdt), sigma, interior,
+                             red, h2, kind, omega, sweeps)
 
             @pl.when(i >= 2)
             def _():
@@ -676,7 +705,7 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
                     obuf.at[slot, pl.ds(0, t), :],
                     out_hbm.at[pl.ds(0, t), :], out_sems.at[slot]).wait()
 
-            obuf[slot, :, :] = w
+            obuf[slot, :, :] = w.astype(odt)
             pltpu.make_async_copy(
                 obuf.at[slot, pl.ds(pl.multiple_of(oo - pf, 8), t), :],
                 out_hbm.at[pl.ds(oo, t), :], out_sems.at[slot]).start()
@@ -698,9 +727,9 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
     scratch = [
         pltpu.VMEM((2, ltf, c), dtype),       # xbuf
         pltpu.VMEM((2, ltf, c), dtype),       # bbuf
-        pltpu.VMEM((2, ltc, cc), dtype),      # ebuf
-        pltpu.VMEM((ltf, c), dtype),          # rbuf (interpolated P e)
-        pltpu.VMEM((2, ltf, c), dtype),       # obuf
+        pltpu.VMEM((2, ltc, cc), cdt),        # ebuf (coarse is cdt)
+        pltpu.VMEM((ltf, c), cdt),            # rbuf (interpolated P e)
+        pltpu.VMEM((2, ltf, c), odt),         # obuf
         pltpu.SemaphoreType.DMA((2, 3)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -708,7 +737,7 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
     def call(sigma_arr, off_arr, x, e, b):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((r, c), dtype),
+            out_shape=jax.ShapeDtypeStruct((r, c), odt),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pl.ANY),
@@ -731,7 +760,8 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
 
 def up_leg(x_ext: jax.Array, e_ext: jax.Array, b_ext: jax.Array, n: int,
            nc: int, h: float, m: int, row_off, col_off=0, *, kind: str,
-           omega: float, sweeps: int, sigma=0.0) -> jax.Array:
+           omega: float, sweeps: int, sigma=0.0,
+           out_dtype=None) -> jax.Array:
     """smooth^sweeps(x + P e) of a V-cycle up leg in ONE kernel over the
     halo-extended shard tile (row decompositions).
 
@@ -742,12 +772,23 @@ def up_leg(x_ext: jax.Array, e_ext: jax.Array, b_ext: jax.Array, n: int,
     or directly a refreshed coarse-level up_leg output). Returns the full
     extended smoothed tile (ghost rows stale).
     Requires sweeps <= max_up_sweeps(kind).
+
+    ``out_dtype`` (default: x's storage dtype) widens the OUTPUT store —
+    a mixed-precision cycle's top level emits its result at f32 so the
+    preconditioner output is the post-smoothed f32 register values, not
+    a bf16 re-rounding: post-smoothing damps the (high-frequency)
+    rounding noise of every intermediate bf16 store, and a final bf16
+    store would re-inject O(eps_bf16 / h^2) residual noise that stalls
+    the outer Krylov loop at large grids.
     """
     assert 0 <= sweeps <= max_up_sweeps(kind), sweeps
     r, c = x_ext.shape
     rcr, cc = e_ext.shape
     assert r % 16 == 0 and rcr == ext_rows(m // 2), (r, rcr, m)
+    assert e_ext.dtype == _cdt(x_ext.dtype), (e_ext.dtype, x_ext.dtype)
+    odt = jnp.dtype(out_dtype if out_dtype is not None else x_ext.dtype)
     call = _up_leg_call(n, nc, m, r, c, rcr, cc, float(h), kind,
-                        float(omega), sweeps, jnp.dtype(x_ext.dtype).name)
-    return call(_scal(sigma, x_ext.dtype), _offs(row_off, col_off),
+                        float(omega), sweeps, jnp.dtype(x_ext.dtype).name,
+                        odt.name)
+    return call(_scal(sigma, _cdt(x_ext.dtype)), _offs(row_off, col_off),
                 x_ext, e_ext, b_ext)

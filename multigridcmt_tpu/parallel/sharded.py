@@ -645,7 +645,7 @@ def _leg_level_ok(cfg: SolverConfig, decomp: Decomp, level: int) -> bool:
 
 def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
                    xe, be, level: int, gamma: int, sigma,
-                   fresh: bool = False):
+                   fresh: bool = False, out_dtype=None):
     """One cycle level on the whole-leg kernel path (VERDICT.md round-3
     item 1), entirely in EXTENDED tile layout: the down leg (smooth^nu1
     -> residual -> restrict) and the up leg (prolong -> correct ->
@@ -706,12 +706,30 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
     xe2 = _refresh_ext(us_ext, decomp, hh, m)
     return local2d.up_leg(xe2, ee, be, n, ncoarse, h, m, row_off,
                           kind=cfg.smoother, omega=omega, sweeps=cfg.nu2,
-                          sigma=sigma)
+                          sigma=sigma, out_dtype=out_dtype)
+
+
+def mixed_leg_dtype(cfg: SolverConfig, decomp: Decomp):
+    """Sharded twin of ``krylov.mixed_cycle_dtype``: the Krylov-wrapped
+    distributed solvers honor ``precond_dtype`` only where the cycle
+    runs the whole-leg kernels, whose tiles are widened to f32 in
+    registers and whose down legs emit the coarse RHS at f32
+    (kernels/local2d._cdt) — so low precision only ever touches the fine
+    level's HBM traffic. Everywhere else (jnp tile stencils, block
+    decompositions, small levels) raw bfloat16 stencil algebra at
+    1/h^2 ~ 4^k scale is catastrophic cancellation, and the cast is
+    skipped — the preconditioner runs in full ``dtype``."""
+    pd = cfg.cycle_dtype()
+    if pd == jnp.dtype(cfg.dtype):
+        return None
+    if not _leg_level_ok(cfg, decomp, 0):
+        return None
+    return pd
 
 
 def _sharded_v_cycle_leg(hier: Hierarchy, cfg: SolverConfig,
                          decomp: Decomp, x, b, level: int, gamma: int,
-                         sigma):
+                         sigma, out_dtype=None):
     """Owned-tile entry to the ext-form whole-leg cycle (used by the PCG
     preconditioner and the eigensolver inner solves; the MG solve loop
     carries extended tiles across cycles itself — see _build_solve)."""
@@ -722,7 +740,7 @@ def _sharded_v_cycle_leg(hier: Hierarchy, cfg: SolverConfig,
     xe = _ext_aligned(x, decomp, hh, r_mult=16)
     be = _ext_aligned(b, decomp, hh, r_mult=16)
     out = _leg_cycle_ext(hier, cfg, decomp, xe, be, level, gamma, sigma,
-                         fresh=True)
+                         fresh=True, out_dtype=out_dtype)
     return out[owned]
 
 
@@ -1029,6 +1047,8 @@ class ShardedSolver:
 
         from ..solvers.krylov import cg_loop
 
+        pd = mixed_leg_dtype(cfg, decomp)
+
         def local_pcg(b, x0):
             def pdot(u, v):
                 return jax.lax.psum(jnp.sum(u * v), decomp.mesh_axes)
@@ -1037,9 +1057,30 @@ class ShardedSolver:
                 return -s_residual(p, jnp.zeros_like(p), n, h, decomp,
                                    use_pallas=cfg.use_pallas)
 
-            def precond(r):
-                return _sharded_v_cycle(hier, cfg, decomp,
-                                        jnp.zeros_like(r), r, 0, gamma)
+            if pd is None:
+                def precond(r):
+                    return _sharded_v_cycle(hier, cfg, decomp,
+                                            jnp.zeros_like(r), r, 0,
+                                            gamma)
+            else:
+                # Mixed precision: the V-cycle preconditioner runs in
+                # precond_dtype (bf16 tiles through the whole-leg
+                # kernels); the outer flexible-CG recurrence and every
+                # dot stays in dtype (krylov.solve_pcg semantics). The
+                # top level's up leg emits its result at f32 — the
+                # post-smoothing has damped every intermediate bf16
+                # store's (high-frequency) rounding noise, and a final
+                # bf16 store would re-inject O(eps_bf16/h^2) residual
+                # noise that stalls the outer loop at large grids
+                # (measured: k=12 diverge-guard abort without this).
+                from ..kernels.local2d import _cdt as _leg_cdt
+
+                def precond(r):
+                    rp = r.astype(pd)
+                    z = _sharded_v_cycle_leg(
+                        hier, cfg, decomp, jnp.zeros_like(rp), rp, 0,
+                        gamma, 0.0, out_dtype=_leg_cdt(pd))
+                    return z.astype(r.dtype)
 
             x, iters, hist, rel = cg_loop(
                 x0, b, dot=pdot, apply_a=apply_a,
@@ -1291,12 +1332,30 @@ class ShardedSolver:
             res = rownorms(r) / jnp.abs(lam)
             return lam, r, jnp.max(res)
 
+        pd = mixed_leg_dtype(cfg, decomp)
+
         def tcycle(r):
+            # Mixed precision at the preconditioner boundary only, as in
+            # solvers.eigen.lobpcg: LOBPCG re-projects on the true
+            # operator at every Rayleigh-Ritz step, so a low-precision T
+            # only perturbs the search direction. The f32-emitting top
+            # level (out_dtype) avoids the final-store rounding noise —
+            # see the PCG precond note.
             def one(rhs):
-                w = jnp.zeros_like(rhs)
+                if pd is None:
+                    w = jnp.zeros_like(rhs)
+                    for _ in range(precond_cycles):
+                        w = _sharded_v_cycle(hier, cfg, decomp, w, rhs, 0)
+                    return w
+                from ..kernels.local2d import _cdt as _leg_cdt
+
+                rp = rhs.astype(pd)
+                w = jnp.zeros_like(rp)
                 for _ in range(precond_cycles):
-                    w = _sharded_v_cycle(hier, cfg, decomp, w, rhs, 0)
-                return w
+                    w = _sharded_v_cycle_leg(
+                        hier, cfg, decomp, w.astype(pd), rp, 0, 1, 0.0,
+                        out_dtype=_leg_cdt(pd))
+                return w.astype(dtype)
 
             return jax.vmap(one)(r)
 

@@ -139,3 +139,62 @@ def test_lobpcg_bf16_precond(monkeypatch):
     lam_f = float(full.eigenvalues[0])
     lam_m = float(mixed.eigenvalues[0])
     assert abs(lam_m - lam_f) / lam_f < 1e-8
+
+
+def test_sharded_pcg_bf16_precond(monkeypatch):
+    """Distributed mixed precision (VERDICT.md round-3 item 6): the
+    sharded PCG honors precond_dtype through the whole-leg kernels
+    (bf16 tiles, f32 registers, coarse RHS emitted f32), converging to
+    full-f64 tolerance at <= +20% iterations on the 8-device mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from multigridcmt_tpu.parallel import sharded
+
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(ndim=2, k=6, dtype=jnp.float64, smoother="rbgs",
+                use_pallas=True, tol=1e-10, max_iters=60, agglom_rows=8)
+    cfg_full = SolverConfig(**base)
+    cfg_mixed = SolverConfig(**base, precond_dtype=jnp.bfloat16)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    decomp = sharded.decomp_from_mesh(mesh, 2)
+    assert sharded.mixed_leg_dtype(cfg_mixed, decomp) == jnp.bfloat16
+    # Gate: outside the whole-leg regime (block decomposition) the cast
+    # is skipped.
+    bmesh = sharded.make_block_mesh((4, 2))
+    assert sharded.mixed_leg_dtype(
+        cfg_mixed, sharded.decomp_from_mesh(bmesh, 2)) is None
+
+    b = _rhs(cfg_full.n)
+    full = sharded.ShardedSolver(cfg_full, mesh).solve(b, method="pcg")
+    mixed = sharded.ShardedSolver(cfg_mixed, mesh).solve(b, method="pcg")
+    assert bool(full.converged) and bool(mixed.converged)
+    assert int(mixed.iters) <= int(np.ceil(1.2 * int(full.iters))) + 1
+    np.testing.assert_allclose(np.asarray(mixed.x), np.asarray(full.x),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_sharded_lobpcg_bf16_precond(monkeypatch):
+    """Distributed MG-LOBPCG with a bf16 V-cycle preconditioner reaches
+    the same smallest eigenvalue (the Ritz step re-projects on the true
+    operator, so T's precision only shapes the search direction)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from multigridcmt_tpu.parallel import sharded
+
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(ndim=2, k=6, dtype=jnp.float64, smoother="rbgs",
+                use_pallas=True, agglom_rows=8)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    ef = sharded.ShardedSolver(SolverConfig(**base), mesh).eigensolve(
+        k=1, method="lobpcg", tol=1e-7, max_iters=40)
+    em = sharded.ShardedSolver(
+        SolverConfig(**base, precond_dtype=jnp.bfloat16), mesh).eigensolve(
+        k=1, method="lobpcg", tol=1e-7, max_iters=40)
+    assert bool(ef.converged) and bool(em.converged)
+    assert int(em.iters) <= int(np.ceil(1.2 * int(ef.iters))) + 3
+    lam_f, lam_m = float(ef.eigenvalues[0]), float(em.eigenvalues[0])
+    assert abs(lam_m - lam_f) / lam_f < 1e-7
