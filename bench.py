@@ -75,7 +75,13 @@ def bench_tpu():
 
         return jnp.sum(jax.lax.fori_loop(0, m, body, jnp.zeros_like(b)))
 
-    vcycle_ms = _marginal(lambda m: float(cycles_m(b, m)), k1=1, k2=9) * 1e3
+    # Hardened like the sweep marginal below (VERDICT.md round-3 weak
+    # item 1): the r03-captured 1.45 ms headline came from a k2-k1=8,
+    # reps=4 estimate whose ~2 ms dispatch-noise tail is the same order
+    # as the quantity; >= 20 cycles of spread and min-over-6 keeps the
+    # estimate inside the run-to-run band.
+    vcycle_ms = _marginal(lambda m: float(cycles_m(b, m)), k1=2, k2=22,
+                          reps=6) * 1e3
 
     @jax.jit
     def sweeps_m(b, m):

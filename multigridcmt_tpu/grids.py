@@ -157,19 +157,23 @@ def aligned3_shape(n: int) -> Tuple[int, int, int]:
     plane-by-plane by kernels/stencil3d.py. Zero pad region as in 2D.
     """
     p = n + 2
-    return (p, -(-p // 8) * 8, -(-p // 128) * 128)
+    # Planes padded to a multiple of 4 so the batched plane-pipeline
+    # kernels (kernels/stencil3d.py) tile the stack uniformly in blocks
+    # of up to 4 planes; the <= 3 pad planes are zero and part of the
+    # ghost invariant.
+    return (-(-p // 4) * 4, -(-p // 8) * 8, -(-p // 128) * 128)
 
 
 def to_aligned3(u: jax.Array) -> jax.Array:
     """Embed a (n+2,)*3 padded grid into its aligned physical layout."""
     p = u.shape[0]
-    _, r, c = aligned3_shape(p - 2)
-    return jnp.pad(u, ((0, 0), (0, r - p), (0, c - p)))
+    pp, r, c = aligned3_shape(p - 2)
+    return jnp.pad(u, ((0, pp - p), (0, r - p), (0, c - p)))
 
 
 def from_aligned3(ua: jax.Array, n: int) -> jax.Array:
     """Extract the (n+2,)*3 logical padded grid from an aligned3 array."""
-    return ua[:, : n + 2, : n + 2]
+    return ua[: n + 2, : n + 2, : n + 2]
 
 
 def interior_coords_1d(n: int, dtype=jnp.float64) -> jax.Array:

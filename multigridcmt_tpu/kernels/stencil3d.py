@@ -7,38 +7,53 @@ fine levels get the same Pallas treatment as 2D (VERDICT.md round-2
 item 5).
 
 Layout: aligned3 grids (`grids.aligned3_shape`) — shape ``(p, r, c)``
-with ``p = n + 2`` z-planes, each plane a 2D-aligned ``(8k, 128k)``
-grid. Only the trailing two dims carry Mosaic tiling constraints; the
-plane dim is a plain array dim, so plane-granular DMA windows take
-arbitrary dynamic offsets.
+with ``p = round_up(n + 2, 4)`` z-planes, each plane a 2D-aligned
+``(8k, 128k)`` grid. Only the trailing two dims carry Mosaic tiling
+constraints; the plane dim is a plain array dim, so plane-granular DMA
+windows take arbitrary dynamic offsets.
 
-Design — *plane-rolling* stream (the 3D analog of stencil2d's row
-tiles, but with zero traffic amplification):
+Design — *batched plane-rolling* stream (the 3D analog of stencil2d's
+row tiles, with zero traffic amplification):
 
-* A 7-point stencil at plane g reads planes g-1, g, g+1. Instead of
-  re-fetching a 3-plane window per step (which would read every u plane
-  three times), the kernel keeps a ring of ``_S = 4`` resident u planes
-  in VMEM: each iteration DMAs exactly ONE new plane (the g+2
-  lookahead), computes plane g from the three resident ones, and writes
-  one plane out. Every HBM byte moves once — the kernel runs at the
-  3-array DMA floor, like the 2D sweeps.
+* A 7-point stencil at plane g reads planes g-1, g, g+1. The kernel
+  keeps a ring of resident plane BLOCKS (``pb`` planes each) in VMEM:
+  each iteration DMAs exactly one new u block and one b block, computes
+  one output block, and writes it out — every HBM byte moves once, so
+  the kernel can run at the 3-array DMA floor.
+
+* Blocks, not single planes, because per-iteration fixed cost is what
+  actually bounds the pipeline: measured on the v5e (round 4), the
+  single-plane variant ran residual/Jacobi/RB-GS all at ~9.7-10.8 us
+  per 520x640 plane against a 5.8 us DMA floor — one- and two-stage
+  kernels alike, i.e. bound by per-plane DMA issue/loop overhead, not
+  VPU work. Batching 4 planes per iteration divides that overhead by 4.
 
 * In-plane neighbors are `pltpu.roll` lane/sublane rotates (zero-ghost
   invariant makes circular semantics free, as in 2D); z-neighbors are
-  the flanking ring slots.
+  flanking ring planes. The interior and red/black masks are
+  PRECOMPUTED once into a VMEM buffer (0/1 values) and applied as
+  arithmetic selects — rebuilding iota-chain masks per plane is pure
+  VPU waste.
 
-* The fused RB-GS sweep pipelines the two colors one plane apart: at
-  iteration g the kernel red-updates plane g+1 (red neighbors are
+* The fused RB-GS sweep pipelines the two colors one block apart: at
+  iteration j the kernel red-updates block j+1 (red neighbors are
   black, i.e. not-yet-updated — original values are the correct GS
-  reads) into a second ring, then black-updates plane g from the
+  reads) into a second ring, then black-updates block j from the
   red-updated ring (black neighbors are red — updated values, exact GS
   ordering) and emits it. A full red+black sweep in ONE HBM pass,
   matching the reference sweep order point-for-point.
 
-VMEM: ~12 resident planes. At k=8 (255^3, 264x384 planes) that is
-~5 MB fp32; k=9 planes (520x640) push past the 16 MB scoped limit, so
-the backend caps the kernel path at `MAX_PLANE_ELEMS` and falls back
-to the jnp stencils above it.
+* Shard-agnostic (the slab-decomposition path of parallel/sharded.py):
+  the global z-index of local plane 0 rides in SMEM as ``goff``; color
+  parity and the z-interior selector derive from g + goff, so one SPMD
+  program serves every slab. Edge planes of the stack are zeroed, and
+  each chained call invalidates 2 (RB-GS) / 1 (Jacobi) ghost planes
+  per side — the caller's exchanged halo depth bounds the chain.
+
+VMEM: the rings hold ~13 blocks + masks; `fits_vmem` caps the kernel
+path and `_pick_pb` shrinks the block size for large planes (v5e
+physical VMEM is ~128 MB; the 16 MB figure is only Mosaic's default
+scoped limit, raised via vmem_limit_bytes).
 
 h is a static Python float (one kernel per level); the eigensolver
 shift sigma is an SMEM scalar (no retrace across RQI shifts).
@@ -54,34 +69,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil2d import _interpret
 
-_S = 4                       # resident u-plane ring slots (1 lookahead)
-
-# VMEM budget for the plane rings. The v5e core has ~128 MB of physical
-# VMEM (measured on this chip: XLA pins loop-carried arrays up to
-# ~116 MB; the 16 MB figure is only Mosaic's *default scoped limit*,
-# raised below via vmem_limit_bytes). The kernels keep ~12 resident
-# planes plus compute temporaries (~3 planes); budget 14 planes against
-# 80 MB, which covers 3D grids through k=10 (1040x1152 fp32 planes).
 _VMEM_LIMIT = 100 * 1024 * 1024
 _PLANE_BUDGET_BYTES = 80 * 1024 * 1024
 
 
+def _pick_pb(r: int, c: int, dtype) -> int:
+    """Largest plane-block size whose rings fit the VMEM budget."""
+    ib = jnp.dtype(dtype).itemsize
+    for pb in (4, 2, 1):
+        if (13 * pb + 4) * r * c * ib <= _PLANE_BUDGET_BYTES:
+            return pb
+    return 1
+
+
 def fits_vmem(r: int, c: int, dtype) -> bool:
-    return 14 * r * c * jnp.dtype(dtype).itemsize <= _PLANE_BUDGET_BYTES
-
-
-def _interior_mask(n, shape):
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return (row >= 1) & (row <= n) & (col >= 1) & (col <= n)
-
-
-def _color_mask(n, g, shape, parity):
-    """(g + y + x) % 2 == parity within the interior."""
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    inter = (row >= 1) & (row <= n) & (col >= 1) & (col <= n)
-    return inter & (((g + row + col) % 2) == parity)
+    # The pb=1 rings + masks + compute temporaries.
+    return 17 * r * c * jnp.dtype(dtype).itemsize <= _PLANE_BUDGET_BYTES
 
 
 def _nsum(zl, zm, zh):
@@ -95,147 +98,208 @@ def _nsum(zl, zm, zh):
     return s
 
 
-def _make_plane_kernel(compute_plane, n: int, p: int, r: int, c: int,
-                       dtype, extra_ring: bool):
-    """Plane-rolling driver.
+def _valid(g, goff, n, p, dtype):
+    """Scalar 0/1: plane g is computable and a global-interior z-plane
+    (inside the stack's computable range AND inside [1, n] globally —
+    the two differ only for slab stacks, whose edge/pad planes are the
+    neighbor's territory or padding and must come back zero)."""
+    gq = jnp.int32(g) + goff
+    ok = ((jnp.int32(g) >= 1) & (jnp.int32(g) <= p - 2)
+          & (gq >= 1) & (gq <= n))
+    return jnp.where(ok, jnp.ones((), dtype), jnp.zeros((), dtype))
 
-    compute_plane(g, ubuf, rbuf, bbuf, sigma) -> (r, c) plane-g output
-    values, reading the u ring (and optionally writing/reading the
-    second ring `rbuf` for the RB-GS pipeline). Output ghost planes
-    (0 and p-1) are zeroed in the epilogue.
+
+def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
+                       c: int, dtype, extra_ring: bool, pb: int):
+    """Batched plane-rolling driver.
+
+    compute_block(j, up, rp, rwrite, bp, mbuf, sigma, goff) -> list of
+    pb (r, c) output planes for block j, where up/rp/bp read plane
+    ``block*pb + off`` of the u / red / b rings and rwrite stores into
+    the red ring. ``prologue_fn`` (the RB-GS prime) runs after the
+    prologue waits, BEFORE the loop's first lookahead DMA reuses ring
+    slots (the single-plane version once primed inside the body and
+    raced the slot-0 lookahead).
     """
-    assert p >= 5, p
+    assert p % pb == 0 and p >= 2 + pb, (p, pb)
+    nbu = p // pb
+    US = 4
+    BS = 4 if extra_ring else 3
+    RS = 3
 
-    def kernel(sigma_ref, u_hbm, b_hbm, out_hbm, ubuf, rbuf, bbuf, obuf,
-               usems, bsems, osems):
+    def kernel(sigma_ref, goff_ref, u_hbm, b_hbm, out_hbm, ubuf, rbuf,
+               bbuf, obuf, mbuf, usems, bsems, osems):
         sigma = sigma_ref[0, 0]
+        goff = goff_ref[0, 0]
 
-        def ustart(g):
-            s = jnp.int32(g) % _S
-            pltpu.make_async_copy(u_hbm.at[pl.ds(g, 1)],
-                                  ubuf.at[pl.ds(s, 1)], usems.at[s]).start()
-
-        def uwait(g):
-            s = jnp.int32(g) % _S
-            pltpu.make_async_copy(u_hbm.at[pl.ds(g, 1)],
-                                  ubuf.at[pl.ds(s, 1)], usems.at[s]).wait()
-
-        def bstart(g):
-            s = jnp.int32(g) % 3
-            pltpu.make_async_copy(b_hbm.at[pl.ds(g, 1)],
-                                  bbuf.at[pl.ds(s, 1)], bsems.at[s]).start()
-
-        def bwait(g):
-            s = jnp.int32(g) % 3
-            pltpu.make_async_copy(b_hbm.at[pl.ds(g, 1)],
-                                  bbuf.at[pl.ds(s, 1)], bsems.at[s]).wait()
-
-        # DMA disciplines (each plane started and waited exactly once).
-        #   extra_ring=False (residual / Jacobi — iteration g reads u
-        #   planes g-1..g+1 and b(g)): prologue starts u(0..2), waits
-        #   u(0..1), starts b(1); body g starts u(g+2)/b(g+1), waits
-        #   u(g+1)/b(g).
-        #   extra_ring=True (RB-GS two-color pipeline — iteration g
-        #   red-updates plane g+1, reading u planes g+1, g+2 and b(g+1),
-        #   then black-updates plane g from the red ring and b(g)):
-        #   prologue starts u(0..3)/b(1..2), waits u(0..2)/b(1); body g
-        #   starts u(g+3)/b(g+2), waits u(g+2)/b(g+1).
-        ula = 3 if extra_ring else 2       # u lookahead start distance
-        uw = 2 if extra_ring else 1        # u wait distance
-        for g in range(ula + 1):
-            if g <= p - 1:
-                ustart(jnp.int32(g))
-        bstart(jnp.int32(1))
+        # Zero the rings once: the few reads that land on never-loaded
+        # slots (edge planes' flanks, the tail block's lookahead, the
+        # RB-GS pipeline's one-past-the-end stage-1 block) are
+        # multiplied by a 0 selector, which only kills FINITE garbage —
+        # uninitialized VMEM could hold NaN.
+        ubuf[...] = jnp.zeros_like(ubuf)
+        bbuf[...] = jnp.zeros_like(bbuf)
         if extra_ring:
-            bstart(jnp.int32(2))
-            bwait(jnp.int32(1))
-        for g in range(uw + 1):
-            uwait(jnp.int32(g))
+            rbuf[...] = jnp.zeros_like(rbuf)
 
-        def body(i, _):
-            g = i + 1                      # core plane index, 1..n
-            oslot = jnp.int32(g) % 2
+        # Precomputed masks: mbuf[par] = red mask for global planes of
+        # parity par (interior & (par + y + x) even); mbuf[2] interior.
+        row = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+        inter = (row >= 1) & (row <= n) & (col >= 1) & (col <= n)
+        even = ((row + col) % 2) == 0
+        one = jnp.ones((r, c), dtype)
+        zero = jnp.zeros((r, c), dtype)
+        mbuf[pl.ds(0, 1)] = jnp.where(inter & even, one,
+                                      zero).reshape(1, r, c)
+        mbuf[pl.ds(1, 1)] = jnp.where(inter & (~even), one,
+                                      zero).reshape(1, r, c)
+        mbuf[pl.ds(2, 1)] = jnp.where(inter, one, zero).reshape(1, r, c)
 
-            @pl.when(g + ula <= p - 1)
+        # Block DMAs move pb*r ROWS of the 2D-bitcast (p*r, c) arrays
+        # — byte-identical to plane blocks, but the windows have the
+        # exact shape of the proven stencil2d row pipeline (a 3D-ref
+        # window decomposes into weaker DMA inside Mosaic; measured
+        # round 4: plane-shaped copies capped the kernels at ~390 GB/s
+        # regardless of batching).
+        def ustart(t):
+            s = jnp.int32(t) % US
+            pltpu.make_async_copy(u_hbm.at[pl.ds(t * (pb * r), pb * r)],
+                                  ubuf.at[s], usems.at[s]).start()
+
+        def uwait(t):
+            s = jnp.int32(t) % US
+            pltpu.make_async_copy(u_hbm.at[pl.ds(t * (pb * r), pb * r)],
+                                  ubuf.at[s], usems.at[s]).wait()
+
+        def bstart(t):
+            s = jnp.int32(t) % BS
+            pltpu.make_async_copy(b_hbm.at[pl.ds(t * (pb * r), pb * r)],
+                                  bbuf.at[s], bsems.at[s]).start()
+
+        def bwait(t):
+            s = jnp.int32(t) % BS
+            pltpu.make_async_copy(b_hbm.at[pl.ds(t * (pb * r), pb * r)],
+                                  bbuf.at[s], bsems.at[s]).wait()
+
+        def up(j, off):
+            bo, l2 = divmod(off, pb)
+            return ubuf[jnp.int32(j + bo) % US, l2 * r:(l2 + 1) * r]
+
+        def rp(j, off):
+            bo, l2 = divmod(off, pb)
+            return rbuf[jnp.int32(j + bo) % RS, l2 * r:(l2 + 1) * r]
+
+        def rwrite(j, off, vals):
+            bo, l2 = divmod(off, pb)
+            rbuf[jnp.int32(j + bo) % RS, l2 * r:(l2 + 1) * r] = vals
+
+        def bp(j, off):
+            bo, l2 = divmod(off, pb)
+            return bbuf[jnp.int32(j + bo) % BS, l2 * r:(l2 + 1) * r]
+
+        # Prologue loads. One-stage (residual / Jacobi): block j reads u
+        # blocks j-1..j+1 and b block j; body j starts u(j+2)/b(j+2),
+        # waits u(j+1)/b(j). RB-GS (extra ring): iteration j red-updates
+        # block j+1 (u blocks j+1, j+2; b block j+1) then black-updates
+        # block j (red ring, b block j); body j starts u(j+4)/b(j+3),
+        # waits u(j+2)/b(j+1).
+        if extra_ring:
+            for t in range(min(4, nbu)):
+                ustart(t)
+            for t in range(min(3, nbu)):
+                bstart(t)
+            for t in range(min(2, nbu)):
+                uwait(t)
+            bwait(0)
+        else:
+            for t in range(min(2, nbu)):
+                ustart(t)
+            for t in range(min(2, nbu)):
+                bstart(t)
+            uwait(0)
+            bwait(0)
+
+        if prologue_fn is not None:
+            prologue_fn(up, rp, rwrite, bp, mbuf, sigma, goff)
+
+        # Start/wait distances (each block started and waited exactly
+        # once: u(t), t past the prologue, is waited at body t-uw; b(t)
+        # at body t-1).
+        ula = 4 if extra_ring else 2    # u lookahead start distance
+        bla = 3 if extra_ring else 2
+        uw = 2 if extra_ring else 1     # u wait distance
+
+        def body(j, _):
+            oslot = jnp.int32(j) % 2
+
+            @pl.when(j + ula <= nbu - 1)
             def _():
-                ustart(g + ula)
+                ustart(j + ula)
 
-            nb = g + (2 if extra_ring else 1)
-
-            @pl.when(nb <= n)
+            @pl.when(j + bla <= nbu - 1)
             def _():
-                bstart(nb)
+                bstart(j + bla)
 
-            @pl.when(g + uw <= p - 1)
+            @pl.when(j + uw <= nbu - 1)
             def _():
-                uwait(g + uw)
+                uwait(j + uw)
 
-            if extra_ring:
-                @pl.when(g + 1 <= n)
-                def _():
-                    bwait(g + 1)
-            else:
-                bwait(g)
-            vals = compute_plane(g, ubuf, rbuf, bbuf, sigma)
+            @pl.when(j + 1 <= nbu - 1)
+            def _():
+                bwait(j + 1)
 
-            @pl.when(i >= 2)
+            vals = compute_block(j, up, rp, rwrite, bp, mbuf, sigma, goff)
+
+            @pl.when(j >= 2)
             def _():
                 pltpu.make_async_copy(
-                    obuf.at[pl.ds(oslot, 1)], out_hbm.at[pl.ds(g - 2, 1)],
+                    obuf.at[oslot],
+                    out_hbm.at[pl.ds((j - 2) * (pb * r), pb * r)],
                     osems.at[oslot]).wait()
 
-            obuf[pl.ds(oslot, 1)] = vals.reshape(1, r, c)
-            pltpu.make_async_copy(obuf.at[pl.ds(oslot, 1)],
-                                  out_hbm.at[pl.ds(g, 1)],
+            for l in range(pb):
+                obuf[oslot, l * r:(l + 1) * r] = vals[l]
+            pltpu.make_async_copy(obuf.at[oslot],
+                                  out_hbm.at[pl.ds(j * (pb * r), pb * r)],
                                   osems.at[oslot]).start()
             return 0
 
-        jax.lax.fori_loop(0, n, body, 0, unroll=False)
+        jax.lax.fori_loop(0, nbu, body, 0, unroll=False)
 
-        # Drain the last (up to) two output DMAs.
-        def drain(j, _):
-            @pl.when(j < jnp.minimum(n, 2))
+        def drain(i, _):
+            @pl.when(i < jnp.minimum(nbu, 2))
             def _():
-                s = jnp.int32(n - j) % 2
-                pltpu.make_async_copy(obuf.at[pl.ds(s, 1)],
-                                      out_hbm.at[pl.ds(0, 1)],
+                s = jnp.int32(nbu - 1 - i) % 2
+                pltpu.make_async_copy(obuf.at[s],
+                                      out_hbm.at[pl.ds(0, pb * r)],
                                       osems.at[s]).wait()
             return 0
 
         jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
 
-        # Ghost planes of the output are zero by invariant.
-        obuf[pl.ds(0, 1)] = jnp.zeros((1, r, c), dtype)
-        pltpu.make_async_copy(obuf.at[pl.ds(0, 1)],
-                              out_hbm.at[pl.ds(0, 1)], osems.at[0]).start()
-        pltpu.make_async_copy(obuf.at[pl.ds(0, 1)],
-                              out_hbm.at[pl.ds(0, 1)], osems.at[0]).wait()
-        obuf[pl.ds(1, 1)] = jnp.zeros((1, r, c), dtype)
-        pltpu.make_async_copy(obuf.at[pl.ds(1, 1)],
-                              out_hbm.at[pl.ds(p - 1, 1)],
-                              osems.at[1]).start()
-        pltpu.make_async_copy(obuf.at[pl.ds(1, 1)],
-                              out_hbm.at[pl.ds(p - 1, 1)],
-                              osems.at[1]).wait()
-
     scratch = [
-        pltpu.VMEM((_S, r, c), dtype),              # u plane ring
-        # Red-updated ring for the RB-GS pipeline; minimal dummy (Mosaic
-        # still allocates declared scratch) for the one-stage kernels.
-        pltpu.VMEM((3, r, c) if extra_ring else (1, 8, 128), dtype),
-        pltpu.VMEM((3, r, c), dtype),               # b plane ring
-        pltpu.VMEM((2, r, c), dtype),               # output double buffer
-        pltpu.SemaphoreType.DMA((_S,)),
-        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.VMEM((US, pb * r, c), dtype),            # u block ring
+        pltpu.VMEM((RS, pb * r, c) if extra_ring
+                   else (1, 8, 128), dtype),           # red ring
+        pltpu.VMEM((BS, pb * r, c), dtype),            # b block ring
+        pltpu.VMEM((2, pb * r, c), dtype),             # out double buffer
+        pltpu.VMEM((3, r, c), dtype),                  # mask planes
+        pltpu.SemaphoreType.DMA((US,)),
+        pltpu.SemaphoreType.DMA((BS,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
-    def call(sigma_arr, u, b):
+    def call(sigma_arr, goff_arr, u, b):
         nnz = 7 * n * n * n
-        return pl.pallas_call(
+        # 2D bitcasts: planes are contiguous, so reshape is free.
+        u2 = u.reshape(p * r, c)
+        b2 = b.reshape(p * r, c)
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((p, r, c), dtype),
+            out_shape=jax.ShapeDtypeStruct((p * r, c), dtype),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -249,13 +313,10 @@ def _make_plane_kernel(compute_plane, n: int, p: int, r: int, c: int,
                 flops=2 * nnz, transcendentals=0,
                 bytes_accessed=3 * p * r * c * jnp.dtype(dtype).itemsize),
             interpret=_interpret(),
-        )(sigma_arr, u, b)
+        )(sigma_arr, goff_arr, u2, b2)
+        return out.reshape(p, r, c)
 
     return call
-
-
-def _ring(ubuf, g):
-    return ubuf[jnp.int32(g) % _S]
 
 
 @functools.lru_cache(maxsize=None)
@@ -263,16 +324,21 @@ def _residual_call(n: int, p: int, r: int, c: int, h: float,
                    dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     inv_h2 = 1.0 / (h * h)
+    pb = _pick_pb(r, c, dtype)
 
-    def compute(g, ubuf, rbuf, bbuf, sigma):
-        zm = _ring(ubuf, g)
-        au = (6.0 * zm - _nsum(_ring(ubuf, g - 1), zm,
-                               _ring(ubuf, g + 1))) * inv_h2
-        vals = bbuf[jnp.int32(g) % 3] - au + sigma * zm
-        return jnp.where(_interior_mask(n, zm.shape), vals,
-                         jnp.zeros_like(zm))
+    def compute(j, up, rp, rwrite, bp, mbuf, sigma, goff):
+        out = []
+        for l in range(pb):
+            g = j * pb + l
+            zm = up(j, l)
+            au = (6.0 * zm - _nsum(up(j, l - 1), zm,
+                                   up(j, l + 1))) * inv_h2
+            vals = bp(j, l) - au + sigma * zm
+            out.append(_valid(g, goff, n, p, dtype) * (mbuf[2] * vals))
+        return out
 
-    return _make_plane_kernel(compute, n, p, r, c, dtype, extra_ring=False)
+    return _make_batch_kernel(compute, None, n, p, r, c, dtype,
+                              extra_ring=False, pb=pb)
 
 
 @functools.lru_cache(maxsize=None)
@@ -280,119 +346,137 @@ def _jacobi_call(n: int, p: int, r: int, c: int, h: float, omega: float,
                  dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     inv_h2 = 1.0 / (h * h)
+    pb = _pick_pb(r, c, dtype)
 
-    def compute(g, ubuf, rbuf, bbuf, sigma):
-        zm = _ring(ubuf, g)
-        au = (6.0 * zm - _nsum(_ring(ubuf, g - 1), zm,
-                               _ring(ubuf, g + 1))) * inv_h2
-        res = bbuf[jnp.int32(g) % 3] - au + sigma * zm
-        vals = zm + (omega / (6.0 * inv_h2 - sigma)) * res
-        return jnp.where(_interior_mask(n, zm.shape), vals, zm)
+    def compute(j, up, rp, rwrite, bp, mbuf, sigma, goff):
+        out = []
+        for l in range(pb):
+            g = j * pb + l
+            zm = up(j, l)
+            au = (6.0 * zm - _nsum(up(j, l - 1), zm,
+                                   up(j, l + 1))) * inv_h2
+            res = bp(j, l) - au + sigma * zm
+            upd = zm + mbuf[2] * ((omega / (6.0 * inv_h2 - sigma)) * res)
+            out.append(_valid(g, goff, n, p, dtype) * upd)
+        return out
 
-    return _make_plane_kernel(compute, n, p, r, c, dtype, extra_ring=False)
+    return _make_batch_kernel(compute, None, n, p, r, c, dtype,
+                              extra_ring=False, pb=pb)
 
 
 @functools.lru_cache(maxsize=None)
 def _rbgs_call(n: int, p: int, r: int, c: int, h: float, dtype_name: str):
     """One full red+black GS sweep in one HBM pass (two-color pipeline).
 
-    rbuf holds *red-updated* planes (red points updated, black original).
-    At iteration g:
-      1. red-update plane g+1 from ORIGINAL flanking planes — a red
+    The red ring holds *red-updated* planes (red points updated, black
+    original). At iteration j:
+      1. red-update block j+1 from ORIGINAL flanking planes — a red
          point's 6 neighbors are all black, and no black point has been
          touched yet, so original values are exactly what sequential GS
-         reads. z-neighbors: rbuf[g] suffices for z-1 (its black points
-         are original) and the ubuf ring for z+1.
-      2. black-update plane g from rbuf planes g-1, g, g+1 — a black
-         point's neighbors are all red, all red-updated by now: exact
-         reference sweep order (red sweep, then black sweep).
-    The iteration-0 step primes rbuf[1] before entering the loop... the
-    prologue red-updates plane 1 (rbuf slot 1) so the first body
-    iteration only runs stage 1 for plane 2 and stage 2 for plane 1.
+         reads. z-neighbors: the red ring suffices for z-1 (its black
+         points are original) and the u ring for z+1.
+      2. black-update block j from the red ring — a black point's
+         neighbors are all red, all red-updated by now: exact reference
+         sweep order (red sweep, then black sweep).
+    The prologue prime seeds the red ring's plane 0 with u plane 0
+    (red(1) reads only its BLACK values = original u; zero for a
+    single-device ghost, the neighbor's exchanged data for a slab) and
+    red-updates the rest of block 0; the stack's LAST plane is likewise
+    copied, not updated, when stage 1 reaches it.
     """
     dtype = jnp.dtype(dtype_name)
     h2 = h * h
+    pb = _pick_pb(r, c, dtype)
 
-    def red_update(g, ubuf, rbuf, bbuf, sigma):
-        """Red-updated plane g (black points keep original values)."""
+    def red_plane(j, l, up, rp, bp, mbuf, sigma, goff):
+        """Red-updated plane q = j*pb + l (reads rp(q-1), u(q), u(q+1))."""
+        q = j * pb + l
         inv_den = 1.0 / (6.0 - sigma * h2)
-        zm = _ring(ubuf, g)
-        gs = (h2 * bbuf[jnp.int32(g) % 3]
-              + _nsum(rbuf[jnp.int32(g - 1) % 3], zm,
-                      _ring(ubuf, g + 1))) * inv_den
-        return jnp.where(_color_mask(n, g, zm.shape, 0), gs, zm)
+        zm = up(j, l)
+        gs = (h2 * bp(j, l)
+              + _nsum(rp(j, l - 1), zm, up(j, l + 1))) * inv_den
+        upd = zm + mbuf[jnp.int32(q + goff) % 2] * (gs - zm)
+        # Inside [1, p-2] and globally interior: the update. Stack edge
+        # plane p-1: copy u (its BLACK values are all the black stage
+        # ever reads from it). Anything else (global ghosts, pads):
+        # zero.
+        v = _valid(q, goff, n, p, dtype)
+        last = jnp.where(jnp.int32(q) == p - 1,
+                         jnp.ones((), dtype), jnp.zeros((), dtype))
+        return v * upd + (1.0 - v) * (last * zm)
 
-    def compute(g, ubuf, rbuf, bbuf, sigma):
-        # Stage 1: red-update plane g+1 (for g+1 <= n; the ghost plane
-        # n+1 must stay all-zero, and red_update of it would leave
-        # non-zero garbage at unmasked points — write zeros instead).
-        @pl.when(g + 1 <= n)
-        def _():
-            rbuf[pl.ds(jnp.int32(g + 1) % 3, 1)] = red_update(
-                g + 1, ubuf, rbuf, bbuf, sigma).reshape(
-                    1, *ubuf.shape[1:])
+    def prime(up, rp, rwrite, bp, mbuf, sigma, goff):
+        rwrite(0, 0, up(0, 0))          # seed plane 0 (black values)
+        for l in range(1, pb):
+            rwrite(0, l, red_plane(0, l, up, rp, bp, mbuf, sigma, goff))
 
-        @pl.when(g + 1 > n)
-        def _():
-            rbuf[pl.ds(jnp.int32(g + 1) % 3, 1)] = jnp.zeros(
-                (1,) + tuple(ubuf.shape[1:]), dtype)
-
-        # Stage 2: black-update plane g from the red-updated ring.
+    def compute(j, up, rp, rwrite, bp, mbuf, sigma, goff):
+        # Stage 1: red-update block j+1.
+        for l in range(pb):
+            rwrite(j + 1, l, red_plane(j + 1, l, up, rp, bp, mbuf,
+                                       sigma, goff))
+        # Stage 2: black-update block j. Black mask of plane g = red
+        # mask of parity g+1.
         inv_den = 1.0 / (6.0 - sigma * h2)
-        zm = rbuf[jnp.int32(g) % 3]
-        gs = (h2 * bbuf[jnp.int32(g) % 3]
-              + _nsum(rbuf[jnp.int32(g - 1) % 3], zm,
-                      rbuf[jnp.int32(g + 1) % 3])) * inv_den
-        return jnp.where(_color_mask(n, g, zm.shape, 1), gs, zm)
+        out = []
+        for l in range(pb):
+            g = j * pb + l
+            zm = rp(j, l)
+            gs = (h2 * bp(j, l)
+                  + _nsum(rp(j, l - 1), zm, rp(j, l + 1))) * inv_den
+            upd = zm + mbuf[jnp.int32(g + 1 + goff) % 2] * (gs - zm)
+            out.append(_valid(g, goff, n, p, dtype) * upd)
+        return out
 
-    def prime(g, ubuf, rbuf, bbuf, sigma):
-        """Prologue stage: rbuf[g-1] (zero ghost) + red-update plane 1."""
-        rbuf[pl.ds(0, 1)] = jnp.zeros((1,) + tuple(ubuf.shape[1:]), dtype)
-        rbuf[pl.ds(1, 1)] = red_update(
-            jnp.int32(1), ubuf, rbuf, bbuf, sigma).reshape(
-                1, *ubuf.shape[1:])
-
-    def compute_with_prime(g, ubuf, rbuf, bbuf, sigma):
-        @pl.when(g == 1)
-        def _():
-            prime(g, ubuf, rbuf, bbuf, sigma)
-
-        return compute(g, ubuf, rbuf, bbuf, sigma)
-
-    return _make_plane_kernel(compute_with_prime, n, p, r, c, dtype,
-                              extra_ring=True)
+    return _make_batch_kernel(compute, prime, n, p, r, c, dtype,
+                              extra_ring=True, pb=pb)
 
 
 def _sigma_arr(sigma, dtype):
     return jnp.asarray(sigma, dtype=dtype).reshape(1, 1)
 
 
+def _goff_arr(goff):
+    return jnp.asarray(goff, jnp.int32).reshape(1, 1)
+
+
 def residual(u: jax.Array, b: jax.Array, n: int, h: float,
-             sigma=0.0) -> jax.Array:
-    """r = b - (A - sigma I) u in one pass (aligned3 grids)."""
+             sigma=0.0, goff=0) -> jax.Array:
+    """r = b - (A - sigma I) u in one pass.
+
+    u/b: aligned3 grids, or a slab decomposition's halo-extended plane
+    stack with ``goff`` the global z-index of local plane 0 (traced)."""
     p, r, c = u.shape
     call = _residual_call(n, p, r, c, float(h), jnp.dtype(u.dtype).name)
-    return call(_sigma_arr(sigma, u.dtype), u, b)
+    return call(_sigma_arr(sigma, u.dtype), _goff_arr(goff), u, b)
 
 
 def jacobi_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
-                 omega: float, sigma=0.0, sweeps: int = 1) -> jax.Array:
-    """Weighted-Jacobi sweeps, one HBM pass each (aligned3 grids)."""
+                 omega: float, sigma=0.0, sweeps: int = 1,
+                 goff=0) -> jax.Array:
+    """Weighted-Jacobi sweeps, one HBM pass each (aligned3 / slab)."""
     p, r, c = u.shape
     call = _jacobi_call(n, p, r, c, float(h), float(omega),
                         jnp.dtype(u.dtype).name)
     s = _sigma_arr(sigma, u.dtype)
+    go = _goff_arr(goff)
     for _ in range(sweeps):
-        u = call(s, u, b)
+        u = call(s, go, u, b)
     return u
 
 
 def rbgs_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
-               sigma=0.0, sweeps: int = 1) -> jax.Array:
-    """Full red+black GS sweeps, ONE HBM pass each (aligned3 grids)."""
+               sigma=0.0, sweeps: int = 1, goff=0) -> jax.Array:
+    """Full red+black GS sweeps, ONE HBM pass each (aligned3 / slab).
+
+    Chained calls on a slab's extended plane stack invalidate 2 ghost
+    planes per sweep per side (the edge planes are zeroed, not
+    recomputed) — the caller's exchanged halo depth bounds ``sweeps``.
+    """
     p, r, c = u.shape
     call = _rbgs_call(n, p, r, c, float(h), jnp.dtype(u.dtype).name)
     s = _sigma_arr(sigma, u.dtype)
+    go = _goff_arr(goff)
     for _ in range(sweeps):
-        u = call(s, u, b)
+        u = call(s, go, u, b)
     return u

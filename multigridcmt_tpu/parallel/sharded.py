@@ -281,6 +281,9 @@ def s_residual(u, b, n, h, decomp: Decomp, sigma=0.0,
     exchange round per axis)."""
     if use_pallas and _local_pallas_ok(u, n, "rbgs", decomp):
         return _s_residual_pallas(u, b, n, h, decomp, sigma)
+    if (use_pallas and u.ndim == 3
+            and _slab3d_ok(u, n, "rbgs", decomp, 1)):
+        return _s_residual_slab3d(u, b, n, h, decomp, sigma)
     nbr = _neighbor_sum_dd(u, decomp)
     ctr = _slice_unsharded(u, decomp)
     inv_h2 = 1.0 / (h * h)
@@ -494,6 +497,88 @@ def _s_smooth_residual_pallas(u, b, n, h, *, kind, omega, sweeps,
     return us[owned], r[owned]
 
 
+def _slab3d_ok(u, n: int, kind: str, decomp: Decomp, hz: int) -> bool:
+    """Slab-local 3D Pallas smoothing available: 3D plane (slab)
+    decomposition, rbgs/jacobi, plane dims big enough for the kernel
+    tier and within its VMEM plane budget, tile deep enough to exchange
+    the hz-plane halo (VERDICT.md round-3 item 4: the promised
+    slab-sharded plane-pipeline kernel)."""
+    from ..grids import aligned3_shape
+    from ..kernels import PALLAS3_MIN_N
+    from ..kernels.stencil3d import fits_vmem
+
+    if not (u.ndim == 3 and len(decomp.axes) == 1
+            and decomp.axes[0][0] == 0 and kind in ("rbgs", "jacobi")
+            and n >= PALLAS3_MIN_N and u.shape[0] >= max(hz, 3)):
+        return False
+    _, r, c = aligned3_shape(n)
+    return fits_vmem(r, c, u.dtype)
+
+
+def _slab3d_hz(kind: str, sweeps: int) -> int:
+    """Ghost planes needed per side: each chained kernel call goes stale
+    2 planes inward for RB-GS (red reads +-1 around black's +-1), 1 for
+    Jacobi — the kernel zeroes, not recomputes, the stack's edge
+    planes."""
+    return 2 * sweeps if kind == "rbgs" else sweeps
+
+
+def _s_smooth_slab3d(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp,
+                     sigma=0.0):
+    """Slab-local plane-pipeline smoothing: ONE ppermute pair exchanges
+    the hz-plane halo, the whole stage streams through the plane-rolling
+    kernels (kernels/stencil3d.py) with the tile's global plane offset
+    as an SMEM scalar, and the owned planes come back EXACTLY equal to
+    the global sweep (ghost-plane overlap-recompute, as in local2d)."""
+    from ..grids import aligned3_shape
+    from ..kernels import stencil3d
+
+    (a, ma, nd), = decomp.axes
+    m = u.shape[0]
+    hz = _slab3d_hz(kind, sweeps)
+    goff = jax.lax.axis_index(ma) * m + 1 - hz
+
+    def ext(v):
+        near = jax.lax.ppermute(v[-hz:], ma, _perm_down(nd))
+        far = jax.lax.ppermute(v[:hz], ma, _perm_up(nd))
+        v = jnp.concatenate([near, v, far], axis=0)
+        _, r, c = aligned3_shape(n)
+        pe = -(-v.shape[0] // 4) * 4    # batched-kernel plane blocks
+        return jnp.pad(v, ((0, pe - v.shape[0]), (0, r - v.shape[1]),
+                           (0, c - v.shape[2])))
+
+    ue, be = ext(u), ext(b)
+    if kind == "rbgs":
+        out = stencil3d.rbgs_sweep(ue, be, n, h, sigma=sigma,
+                                   sweeps=sweeps, goff=goff)
+    else:
+        out = stencil3d.jacobi_sweep(ue, be, n, h, omega, sigma=sigma,
+                                     sweeps=sweeps, goff=goff)
+    return out[hz:hz + m, :n + 2, :n + 2]
+
+
+def _s_residual_slab3d(u, b, n, h, decomp: Decomp, sigma=0.0):
+    """Slab-local 3D residual (1-plane halo)."""
+    from ..grids import aligned3_shape
+    from ..kernels import stencil3d
+
+    (a, ma, nd), = decomp.axes
+    m = u.shape[0]
+    goff = jax.lax.axis_index(ma) * m
+
+    def ext(v):
+        near = jax.lax.ppermute(v[-1:], ma, _perm_down(nd))
+        far = jax.lax.ppermute(v[:1], ma, _perm_up(nd))
+        v = jnp.concatenate([near, v, far], axis=0)
+        _, r, c = aligned3_shape(n)
+        pe = -(-v.shape[0] // 4) * 4    # batched-kernel plane blocks
+        return jnp.pad(v, ((0, pe - v.shape[0]), (0, r - v.shape[1]),
+                           (0, c - v.shape[2])))
+
+    out = stencil3d.residual(ext(u), ext(b), n, h, sigma=sigma, goff=goff)
+    return out[1:1 + m, :n + 2, :n + 2]
+
+
 def s_smooth(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp, sigma=0.0,
              use_pallas: bool = False):
     if kind == "chebyshev":
@@ -508,6 +593,10 @@ def s_smooth(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp, sigma=0.0,
                                       use_pallas=use_pallas))
     if use_pallas and _local_pallas_ok(u, n, kind, decomp):
         return _s_smooth_pallas(u, b, n, h, kind=kind, omega=omega,
+                                sweeps=sweeps, decomp=decomp, sigma=sigma)
+    if (use_pallas and u.ndim == 3
+            and _slab3d_ok(u, n, kind, decomp, _slab3d_hz(kind, sweeps))):
+        return _s_smooth_slab3d(u, b, n, h, kind=kind, omega=omega,
                                 sweeps=sweeps, decomp=decomp, sigma=sigma)
     for _ in range(sweeps):
         if kind == "jacobi":
