@@ -215,3 +215,25 @@ def test_slab3d_pallas_matches_unsharded(smoother, ndev, kk, monkeypatch):
                                rtol=1e-6, atol=1e-11)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=1e-8, atol=1e-12)
+
+
+@needs_8
+@pytest.mark.parametrize("cycle", ["w", "fmg"])
+def test_whole_leg_wcycle_fmg(cycle, monkeypatch):
+    """W-cycles (gamma=2 through the ext-carried recursion) and FMG
+    (stagewise walk + leg-path polish cycles) on the whole-leg kernel
+    path match the unsharded solve."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=7, dtype=jnp.float64, smoother="rbgs", cycle=cycle,
+                tol=1e-9, agglom_rows=4)
+    prob = mg.poisson2d(**base)
+    ref = mg.MultigridSolver(prob).solve()
+    got = sharded.ShardedSolver(SolverConfig(ndim=2, **base,
+                                             use_pallas=True),
+                                _mesh()).solve(prob.b)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.res_history),
+                               np.asarray(ref.res_history),
+                               rtol=1e-6, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
