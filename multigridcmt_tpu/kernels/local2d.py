@@ -356,7 +356,13 @@ def _halos(dtype):
 @functools.lru_cache(maxsize=None)
 def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
                    h: float, kind: str, omega: float, sweeps: int,
-                   dtype_name: str):
+                   dtype_name: str, mcol: int = 0):
+    # mcol > 0: columns are SHARDED too (block decomposition) — the tile
+    # carries mcol owned + 2*HALO_ROWS ghost columns in ext convention,
+    # and the coarse output's columns come out in ext convention as
+    # well. The fine<->coarse lane mapping is the rows' algebra
+    # transposed: out lane s centers at scol lane 2s - 7 (static).
+    col_ext = mcol > 0
     dtype = jnp.dtype(dtype_name)
     cdt = _cdt(dtype)
     h_lo, h_hi, _ = _halos(dtype)
@@ -470,33 +476,80 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
                 preferred_element_type=cdt,
                 precision=jax.lax.Precision.HIGHEST).astype(cdt)
 
-            # Column full-weighting + even-lane extraction (columns are
-            # unsharded: global col == lane, fused2d pattern verbatim).
+            # Column full-weighting, then coarse-lane extraction.
             scol = (0.25 * pltpu.roll(rows_c, 1, 1) + 0.5 * rows_c
                     + 0.25 * pltpu.roll(rows_c, c - 1, 1))
-            esel = (_iota2((256, 128), 0)
-                    == 2 * _iota2((256, 128), 1)).astype(cdt)
             crow0 = (grow0 + hh + 1) // 2       # global jc of local q = 0
             gjc = crow0 + q0 + _iota2((tc, 128), 0)
             gq = q0 + _iota2((tc, 128), 0)
 
-            for blk in range(nb + rem):
-                w = 256 if blk < nb else 128
-                seg = scol[:, blk * 256: blk * 256 + w]
-                sel = esel[:w, : w // 2]
-                ext = jax.lax.dot_general(
-                    seg, sel, (((1,), (0,)), ((), ())),
-                    preferred_element_type=cdt,
-                    precision=jax.lax.Precision.HIGHEST).astype(cdt)
-                gcc = blk * 128 + _iota2((tc, w // 2), 1)
-                cmask = ((gq[:, : w // 2] < mc)
-                         & (gjc[:, : w // 2] <= nc)
-                         & (gcc >= 1) & (gcc <= nc))
-                cbuf[slot, :, blk * 128: blk * 128 + w // 2] = jnp.where(
-                    cmask, ext, jnp.zeros_like(ext))
-            filled = 128 * nb + 64 * rem
-            if filled < cc:
-                cbuf[slot, :, filled:] = jnp.zeros((tc, cc - filled), cdt)
+            if not col_ext:
+                # Unsharded columns: global col == lane; even-lane
+                # extraction (fused2d pattern verbatim).
+                esel = (_iota2((256, 128), 0)
+                        == 2 * _iota2((256, 128), 1)).astype(cdt)
+                for blk in range(nb + rem):
+                    w = 256 if blk < nb else 128
+                    seg = scol[:, blk * 256: blk * 256 + w]
+                    sel = esel[:w, : w // 2]
+                    ext = jax.lax.dot_general(
+                        seg, sel, (((1,), (0,)), ((), ())),
+                        preferred_element_type=cdt,
+                        precision=jax.lax.Precision.HIGHEST).astype(cdt)
+                    gcc = blk * 128 + _iota2((tc, w // 2), 1)
+                    cmask = ((gq[:, : w // 2] < mc)
+                             & (gjc[:, : w // 2] <= nc)
+                             & (gcc >= 1) & (gcc <= nc))
+                    cbuf[slot, :, blk * 128: blk * 128 + w // 2] = \
+                        jnp.where(cmask, ext, jnp.zeros_like(ext))
+                filled = 128 * nb + 64 * rem
+                if filled < cc:
+                    cbuf[slot, :, filled:] = jnp.zeros(
+                        (tc, cc - filled), cdt)
+            else:
+                # Sharded columns: coarse out lane s (ext convention)
+                # centers at scol lane 2s - 7 (the rows' +hh+1 shift
+                # transposed; static because the device index cancels);
+                # lanes 2s - 7 < 0 within a 256-block come from the
+                # previous block (roll by 256). Ghost/pad out lanes are
+                # masked to zero — the coarse level's refresh exchanges
+                # them.
+                mc2 = mcol // 2
+                sel_m = (_iota2((256, 128), 0)
+                         == 2 * _iota2((256, 128), 1) - 7).astype(cdt)
+                sel_p = (_iota2((256, 128), 0)
+                         == 2 * _iota2((256, 128), 1) + 249).astype(cdt)
+                ccol0 = (gcol0 - 7) // 2   # global coarse col of lane 0
+                for ob in range(cc // 128):
+                    lo = ob * 256
+                    wav = min(256, c - lo)
+                    s_lane = ob * 128 + _iota2((tc, 128), 1)
+                    if wav <= 0:
+                        cbuf[slot, :, ob * 128:(ob + 1) * 128] = \
+                            jnp.zeros((tc, 128), cdt)
+                        continue
+                    ext = jax.lax.dot_general(
+                        scol[:, lo:lo + wav], sel_m[:wav],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=cdt,
+                        precision=jax.lax.Precision.HIGHEST).astype(cdt)
+                    if ob >= 1:
+                        # Out lanes s = ob*128 + m, m < 4 center at scol
+                        # lanes 2s - 7 < lo: read the PREVIOUS 256-block
+                        # (always fully in range; ob = 0's prev lanes
+                        # would be ghost depth < 8, masked below).
+                        ext = ext + jax.lax.dot_general(
+                            scol[:, lo - 256:lo], sel_p,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=cdt,
+                            precision=jax.lax.Precision.HIGHEST
+                            ).astype(cdt)
+                    gcc = ccol0 + s_lane
+                    cmask = ((gq < mc) & (gjc <= nc)
+                             & (s_lane >= hh) & (s_lane < hh + mc2)
+                             & (gcc <= nc))
+                    cbuf[slot, :, ob * 128:(ob + 1) * 128] = jnp.where(
+                        cmask, ext, jnp.zeros_like(ext))
 
             pltpu.make_async_copy(
                 obuf.at[slot, pl.ds(pl.multiple_of(co, 8), t), :],
@@ -562,7 +615,7 @@ def _down_leg_call(n: int, nc: int, m: int, r: int, c: int, cc: int,
 
 def down_leg(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float, m: int,
              row_off, col_off=0, *, kind: str, omega: float, sweeps: int,
-             sigma=0.0):
+             sigma=0.0, mcol: int = 0):
     """(smooth^sweeps, residual, restrict) of a V-cycle down leg in ONE
     kernel over the halo-extended shard tile (row decompositions).
 
@@ -582,9 +635,14 @@ def down_leg(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float, m: int,
     r, c = u_ext.shape
     assert r % 16 == 0, r
     nc = (n - 1) // 2
-    cc = aligned_shape(nc)[1]
+    if mcol:
+        # Block decomposition: the coarse columns come out in the same
+        # ext convention as the rows.
+        cc = -(-(mcol // 2 + 2 * HALO_ROWS) // 128) * 128
+    else:
+        cc = aligned_shape(nc)[1]
     call = _down_leg_call(n, nc, m, r, c, cc, float(h), kind, float(omega),
-                          sweeps, jnp.dtype(u_ext.dtype).name)
+                          sweeps, jnp.dtype(u_ext.dtype).name, mcol)
     return call(_scal(sigma, _cdt(u_ext.dtype)), _offs(row_off, col_off),
                 u_ext, b_ext)
 
@@ -592,7 +650,8 @@ def down_leg(u_ext: jax.Array, b_ext: jax.Array, n: int, h: float, m: int,
 @functools.lru_cache(maxsize=None)
 def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
                  cc: int, h: float, kind: str, omega: float, sweeps: int,
-                 dtype_name: str, out_dtype_name: str):
+                 dtype_name: str, out_dtype_name: str, mcol: int = 0):
+    col_ext = mcol > 0
     dtype = jnp.dtype(dtype_name)
     odt = jnp.dtype(out_dtype_name)
     cdt = _cdt(dtype)                # e/compute dtype (coarse is cdt)
@@ -667,22 +726,45 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
                 preferred_element_type=cdt,
                 precision=jax.lax.Precision.HIGHEST).astype(cdt)
 
-            # Column interpolation, 128 coarse -> 256 fine lanes per block
-            # (columns unsharded: global col == lane; fused2d pattern).
+            # Column interpolation, 128 coarse -> 256 fine lanes per
+            # block.
             mm = _iota2((128, 256), 0)
             g = _iota2((128, 256), 1)
-            m1 = ((g == 2 * mm).astype(cdt)
-                  + 0.5 * (g == 2 * mm + 1).astype(cdt)
-                  + 0.5 * (g == 2 * mm - 1).astype(cdt))
-            m2 = 0.5 * ((mm == 127) & (g == 255)).astype(cdt)
-            cs = pltpu.roll(rows_f, cc - 1, 1)
+            if not col_ext:
+                # Unsharded columns: global col == lane (fused2d
+                # pattern); cross-block neighbor via a 1-lane roll.
+                m1 = ((g == 2 * mm).astype(cdt)
+                      + 0.5 * (g == 2 * mm + 1).astype(cdt)
+                      + 0.5 * (g == 2 * mm - 1).astype(cdt))
+                m2 = 0.5 * ((mm == 127) & (g == 255)).astype(cdt)
+                cs = pltpu.roll(rows_f, cc - 1, 1)
+            else:
+                # Sharded columns (ext convention): fine ext lane t
+                # reads coarse ext lane s with t = 2s - 7 (t odd, i.e.
+                # global col even) or the mean of 2s == t+6, t+8 (t
+                # even). Within a 256-lane fine block the relations are
+                # block-free; the high lanes also read the NEXT coarse
+                # block (roll by 128).
+                godd = (g % 2) == 1
+                m1 = (jnp.where(godd & (2 * mm == g + 7), 1.0, 0.0)
+                      + jnp.where((~godd) & ((2 * mm == g + 6)
+                                             | (2 * mm == g + 8)),
+                                  0.5, 0.0)).astype(cdt)
+                m2 = (jnp.where(godd & (2 * (mm + 128) == g + 7),
+                                1.0, 0.0)
+                      + jnp.where((~godd)
+                                  & ((2 * (mm + 128) == g + 6)
+                                     | (2 * (mm + 128) == g + 8)),
+                                  0.5, 0.0)).astype(cdt)
+                cs = pltpu.roll(rows_f, cc - 128, 1)
             interior, red = _masks(n, grow0, gcol0, pf, (ltf, c))
             w = xbuf[slot].astype(cdt)
-            for blk in range(cc // 128):
+            for blk in range(-(-c // 256)):
                 lo = blk * 256
                 wdt = min(256, c - lo)
                 if wdt <= 0:
                     break
+                assert (blk + 1) * 128 <= cc, (blk, cc, c)
                 seg = rows_f[:, blk * 128:(blk + 1) * 128]
                 segs = cs[:, blk * 128:(blk + 1) * 128]
                 pe = (jax.lax.dot_general(
@@ -761,7 +843,7 @@ def _up_leg_call(n: int, nc: int, m: int, r: int, c: int, rcr: int,
 def up_leg(x_ext: jax.Array, e_ext: jax.Array, b_ext: jax.Array, n: int,
            nc: int, h: float, m: int, row_off, col_off=0, *, kind: str,
            omega: float, sweeps: int, sigma=0.0,
-           out_dtype=None) -> jax.Array:
+           out_dtype=None, mcol: int = 0) -> jax.Array:
     """smooth^sweeps(x + P e) of a V-cycle up leg in ONE kernel over the
     halo-extended shard tile (row decompositions).
 
@@ -789,6 +871,6 @@ def up_leg(x_ext: jax.Array, e_ext: jax.Array, b_ext: jax.Array, n: int,
     odt = jnp.dtype(out_dtype if out_dtype is not None else x_ext.dtype)
     call = _up_leg_call(n, nc, m, r, c, rcr, cc, float(h), kind,
                         float(omega), sweeps, jnp.dtype(x_ext.dtype).name,
-                        odt.name)
+                        odt.name, mcol)
     return call(_scal(sigma, _cdt(x_ext.dtype)), _offs(row_off, col_off),
                 x_ext, e_ext, b_ext)

@@ -353,42 +353,49 @@ def _ext_aligned(u, decomp: Decomp, hh: int, r_mult: int = 8):
     return jnp.pad(u, ((0, r8 - rows), (0, c128 - cols)))
 
 
-def _refresh_ext(ue, decomp: Decomp, hh: int, m: int):
-    """Re-exchange the ghost rows of an extended tile in place.
+def _refresh_ext(ue, decomp: Decomp, hh: int, ms):
+    """Re-exchange the ghost slabs of an extended tile in place.
 
-    After a kernel leg the owned rows [hh, hh+m) are exact but the ghost
-    regions are stale; this swaps fresh owned-edge slabs with the mesh
-    neighbors and writes them into the ghost rows — two slab ppermutes +
-    two slab updates instead of rebuilding the whole extended tile
-    (a full concatenate copy) from the owned slice."""
-    (a, ma, ndev), = decomp.axes          # row decompositions only
-    assert a == 0
-    near = jax.lax.ppermute(ue[m:hh + m], ma, _perm_down(ndev))
-    far = jax.lax.ppermute(ue[hh:2 * hh], ma, _perm_up(ndev))
-    ue = jax.lax.dynamic_update_slice_in_dim(ue, near, 0, axis=0)
-    return jax.lax.dynamic_update_slice_in_dim(ue, far, hh + m, axis=0)
+    After a kernel leg the owned region is exact but the ghost regions
+    are stale; this swaps fresh owned-edge slabs with the mesh neighbors
+    along each sharded axis (rows first, then columns — the column slabs
+    then carry the refreshed row ghosts, i.e. the corner values, exactly
+    as _ext_aligned's sequential extension does) — slab ppermutes + slab
+    updates instead of rebuilding the whole extended tile. ``ms``: owned
+    extent per sharded axis, aligned with ``decomp.axes``."""
+    for (a, ma, ndev), m in zip(decomp.axes, ms):
+        v = jnp.moveaxis(ue, a, 0)
+        near = jax.lax.ppermute(v[m:hh + m], ma, _perm_down(ndev))
+        far = jax.lax.ppermute(v[hh:2 * hh], ma, _perm_up(ndev))
+        v = jax.lax.dynamic_update_slice_in_dim(v, near, 0, axis=0)
+        v = jax.lax.dynamic_update_slice_in_dim(v, far, hh + m, axis=0)
+        ue = jnp.moveaxis(v, 0, a)
+    return ue
 
 
 def _ext_coarse_tile(ec, decomp: Decomp, rows_out: int, cols_out: int):
-    """HALO_ROWS-extend an owned coarse tile (ppermute) and embed it in
-    the (rows_out, cols_out) extended convention for up_leg.
+    """HALO_ROWS-extend an owned coarse tile (ppermute, every sharded
+    axis) and embed it in the (rows_out, cols_out) extended convention
+    for up_leg.
 
     When the owned tile is shallower than the halo (mc < HALO_ROWS), the
-    ghost region's outer rows would belong to devices two hops away;
-    they are zero-filled instead. The rows-convention is preserved
-    (ghost depth stays HALO_ROWS), and exactness from ghost depth
+    ghost region's outer entries would belong to devices two hops away;
+    they are zero-filled instead. The convention is preserved (ghost
+    depth stays HALO_ROWS), and exactness from ghost depth
     2*(HALO_ROWS - mc) inward is all max_up_sweeps' staleness budget
     needs (mc >= HALO_ROWS/2 on every leg-path level)."""
     from ..kernels.local2d import HALO_ROWS as hh
 
-    (a, ma, ndev), = decomp.axes
-    hc = min(hh, ec.shape[0])
-    near = jax.lax.ppermute(ec[-hc:], ma, _perm_down(ndev))
-    far = jax.lax.ppermute(ec[:hc], ma, _perm_up(ndev))
-    zpad = jnp.zeros((hh - hc,) + ec.shape[1:], ec.dtype)
-    ee = jnp.concatenate([zpad, near, ec, far], axis=0)
-    return jnp.pad(ee, ((0, rows_out - ee.shape[0]),
-                        (0, cols_out - ee.shape[1])))
+    for a, ma, ndev in decomp.axes:
+        v = jnp.moveaxis(ec, a, 0)
+        hc = min(hh, v.shape[0])
+        near = jax.lax.ppermute(v[-hc:], ma, _perm_down(ndev))
+        far = jax.lax.ppermute(v[:hc], ma, _perm_up(ndev))
+        zpad = jnp.zeros((hh - hc,) + v.shape[1:], v.dtype)
+        ec = jnp.moveaxis(jnp.concatenate([zpad, near, v, far], axis=0),
+                          0, a)
+    return jnp.pad(ec, ((0, rows_out - ec.shape[0]),
+                        (0, cols_out - ec.shape[1])))
 
 
 def _slice_coarse_ext(full, decomp: Decomp, rows_out: int, cols_out: int):
@@ -397,15 +404,18 @@ def _slice_coarse_ext(full, decomp: Decomp, rows_out: int, cols_out: int):
     crossing twin of _ext_coarse_tile)."""
     from ..kernels.local2d import HALO_ROWS as hh
 
-    (a, ma, ndev), = decomp.axes
-    mc = (full.shape[0] - 1) // ndev
-    d = jax.lax.axis_index(ma)
-    # Pad by hh so edge devices read zeros (== ppermute edge semantics,
-    # == the Dirichlet ghosts), then slice rows d*mc + 1 - hh .. + mc+2hh.
-    fp = jnp.pad(full, ((hh, hh), (0, 0)))
-    ee = jax.lax.dynamic_slice_in_dim(fp, d * mc + 1, mc + 2 * hh, axis=0)
-    return jnp.pad(ee, ((0, rows_out - ee.shape[0]),
-                        (0, cols_out - ee.shape[1])))
+    for a, ma, ndev in decomp.axes:
+        mc = (full.shape[a] - 1) // ndev
+        d = jax.lax.axis_index(ma)
+        # Pad by hh so edge devices read zeros (== ppermute edge
+        # semantics, == the Dirichlet ghosts), then slice entries
+        # d*mc + 1 - hh .. + mc + 2*hh along the axis.
+        pads = [(hh, hh) if i == a else (0, 0) for i in range(full.ndim)]
+        fp = jnp.pad(full, pads)
+        full = jax.lax.dynamic_slice_in_dim(fp, d * mc + 1, mc + 2 * hh,
+                                            axis=a)
+    return jnp.pad(full, ((0, rows_out - full.shape[0]),
+                          (0, cols_out - full.shape[1])))
 
 
 def _local_offsets(u, decomp: Decomp, hh: int):
@@ -715,12 +725,15 @@ def _scatter_local(full, decomp: Decomp):
 
 def _leg_level_ok(cfg: SolverConfig, decomp: Decomp, level: int) -> bool:
     """STATIC check: whole-leg shard-local kernels available at a level —
-    2D row decomposition, rbgs/jacobi within the fused-sweep staleness
-    budgets, the level sharded with a tile deep enough for the halo."""
+    2D row OR block decomposition, rbgs/jacobi within the fused-sweep
+    staleness budgets, the level sharded with tiles deep enough for the
+    halo along every sharded axis."""
     from ..kernels import PALLAS_MIN_N, local2d
 
     if not (cfg.use_pallas and cfg.ndim == 2
-            and len(decomp.axes) == 1 and decomp.axes[0][0] == 0
+            and 1 <= len(decomp.axes) <= 2
+            and all(decomp.axes[i][0] == i
+                    for i in range(len(decomp.axes)))
             and cfg.smoother in ("rbgs", "jacobi")
             and cfg.nu1 <= local2d.max_down_sweeps(cfg.smoother)
             and cfg.nu2 <= local2d.max_up_sweeps(cfg.smoother)
@@ -728,8 +741,13 @@ def _leg_level_ok(cfg: SolverConfig, decomp: Decomp, level: int) -> bool:
             and _is_sharded(cfg, decomp, level)):
         return False
     n = 2 ** (cfg.k - level) - 1
-    m = _level_rows(cfg.k, level) // decomp.axes[0][2]
-    return n >= PALLAS_MIN_N and m % 2 == 0 and m >= local2d.HALO_ROWS
+    if n < PALLAS_MIN_N:
+        return False
+    for _, _, nd in decomp.axes:
+        ma = _level_rows(cfg.k, level) // nd
+        if ma % 2 != 0 or ma < local2d.HALO_ROWS:
+            return False
+    return True
 
 
 def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
@@ -752,26 +770,44 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
     spec = hier.levels[level]
     n, h = spec.n, spec.h
     omega = cfg.effective_omega()
-    (_, ma, nd), = decomp.axes
-    m = _level_rows(cfg.k, level) // nd
+    rows = _level_rows(cfg.k, level)
+    ax0 = decomp.axes[0]
+    m = rows // ax0[2]
     mc = m // 2
-    row_off = jax.lax.axis_index(ma) * m + 1 - hh
+    row_off = jax.lax.axis_index(ax0[1]) * m + 1 - hh
+    if len(decomp.axes) == 2:
+        ax1 = decomp.axes[1]
+        mcol = rows // ax1[2]
+        col_off = jax.lax.axis_index(ax1[1]) * mcol + 1 - hh
+        ms = (m, mcol)
+        mcs = (mc, mcol // 2)
+    else:
+        mcol, col_off = 0, 0
+        ms = (m,)
+        mcs = (mc,)
     if not fresh:
-        xe = _refresh_ext(xe, decomp, hh, m)
-    us_ext, rc_ext = local2d.down_leg(xe, be, n, h, m, row_off,
+        xe = _refresh_ext(xe, decomp, hh, ms)
+    us_ext, rc_ext = local2d.down_leg(xe, be, n, h, m, row_off, col_off,
                                       kind=cfg.smoother, omega=omega,
-                                      sweeps=cfg.nu1, sigma=sigma)
+                                      sweeps=cfg.nu1, sigma=sigma,
+                                      mcol=mcol)
     ncoarse = hier.levels[level + 1].n
+
+    def rc_owned():
+        csl = (slice(hh, hh + mcol // 2) if mcol
+               else slice(0, ncoarse + 2))
+        return rc_ext[hh:hh + mc, csl]
+
     if _leg_level_ok(cfg, decomp, level + 1):
-        be_c = _refresh_ext(rc_ext, decomp, hh, mc)
+        be_c = _refresh_ext(rc_ext, decomp, hh, mcs)
         ec = jnp.zeros_like(be_c)
         for g in range(gamma):
             ec = _leg_cycle_ext(hier, cfg, decomp, ec, be_c, level + 1,
                                 gamma, sigma, fresh=(g == 0))
-        ee = _refresh_ext(ec, decomp, hh, mc)
+        ee = _refresh_ext(ec, decomp, hh, mcs)
     elif _is_sharded(cfg, decomp, level + 1):
         # Sharded but below the kernel thresholds: owned-tile recursion.
-        rc = rc_ext[hh:hh + mc, :ncoarse + 2]
+        rc = rc_owned()
         ec = jnp.zeros_like(rc)
         for _ in range(gamma):
             ec = _sharded_v_cycle(hier, cfg, decomp, ec, rc,
@@ -783,8 +819,7 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
         # up-leg kernel then reads this device's coarse slice directly
         # from the replicated result — no scatter communication.
         cfg_repl = dataclasses.replace(cfg, use_pallas=False)
-        rc = rc_ext[hh:hh + mc, :ncoarse + 2]
-        rc_full = _gather_full(rc, decomp)
+        rc_full = _gather_full(rc_owned(), decomp)
         ec_full = jnp.zeros_like(rc_full)
         for _ in range(gamma):
             ec_full = cycles.v_cycle(hier, ec_full, rc_full, cfg_repl,
@@ -792,10 +827,10 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
                                      sigma=sigma)
         ee = _slice_coarse_ext(ec_full, decomp, rc_ext.shape[0],
                                rc_ext.shape[1])
-    xe2 = _refresh_ext(us_ext, decomp, hh, m)
-    return local2d.up_leg(xe2, ee, be, n, ncoarse, h, m, row_off,
+    xe2 = _refresh_ext(us_ext, decomp, hh, ms)
+    return local2d.up_leg(xe2, ee, be, n, ncoarse, h, m, row_off, col_off,
                           kind=cfg.smoother, omega=omega, sweeps=cfg.nu2,
-                          sigma=sigma, out_dtype=out_dtype)
+                          sigma=sigma, out_dtype=out_dtype, mcol=mcol)
 
 
 def mixed_leg_dtype(cfg: SolverConfig, decomp: Decomp):
@@ -1062,13 +1097,14 @@ class ShardedSolver:
                 from ..kernels import local2d
 
                 hh = local2d.HALO_ROWS
-                m = x.shape[0]
-                row_off, _, owned = _local_offsets(x, decomp, hh)
+                ms = tuple(x.shape[a] for a, _, _ in decomp.axes)
+                row_off, col_off, owned = _local_offsets(x, decomp, hh)
                 be = _ext_aligned(b, decomp, hh, r_mult=16)
                 x = _ext_aligned(x, decomp, hh, r_mult=16)
 
                 def res_rel(xe_fresh):
-                    r = local2d.residual(xe_fresh, be, n, h, row_off)
+                    r = local2d.residual(xe_fresh, be, n, h, row_off,
+                                         col_off)
                     ro = r[owned]
                     return jnp.sqrt(jax.lax.psum(
                         jnp.sum(ro * ro), decomp.mesh_axes)) / b_norm
@@ -1076,7 +1112,7 @@ class ShardedSolver:
                 def one_cycle(xe):
                     xe = _leg_cycle_ext(hier, cfg, decomp, xe, be, 0,
                                         gamma, 0.0, fresh=True)
-                    return _refresh_ext(xe, decomp, hh, m)
+                    return _refresh_ext(xe, decomp, hh, ms)
             else:
                 def res_rel(xx):
                     return jnp.sqrt(_psum_sq(
@@ -1567,7 +1603,6 @@ class ShardedSolver:
                 from ..kernels import local2d
 
                 hh = local2d.HALO_ROWS
-                m = x.shape[0]
                 _, _, owned = _local_offsets(x, decomp, hh)
                 be = _ext_aligned(b, decomp, hh, r_mult=16)
                 xe = _ext_aligned(x, decomp, hh, r_mult=16)

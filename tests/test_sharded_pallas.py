@@ -237,3 +237,27 @@ def test_whole_leg_wcycle_fmg(cycle, monkeypatch):
                                rtol=1e-6, atol=1e-11)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=1e-8, atol=1e-12)
+
+
+@needs_8
+def test_whole_leg_block_decomp_multiwindow(monkeypatch):
+    """Whole-leg kernels on a BLOCK decomposition (both axes sharded,
+    col_ext kernel variants) at k=9 on a 4x2 mesh: multi-window row
+    pipelines AND multi-block column extraction/interpolation, several
+    chained leg levels. Pinned vs the unsharded solve at fp64."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    base = dict(k=9, dtype=jnp.float64, smoother="rbgs",
+                tol=1e-9, max_iters=6, agglom_rows=4)
+    prob = mg.poisson2d(**base)
+    ref = mg.MultigridSolver(prob).solve()
+    mesh = sharded.make_block_mesh((4, 2))
+    dec = sharded.decomp_from_mesh(mesh, 2)
+    cfg = SolverConfig(ndim=2, **base, use_pallas=True)
+    assert sharded._leg_level_ok(cfg, dec, 0)       # engaged, not a fallback
+    got = sharded.ShardedSolver(cfg, mesh).solve(prob.b)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.res_history),
+                               np.asarray(ref.res_history),
+                               rtol=1e-6, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
