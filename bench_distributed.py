@@ -33,10 +33,14 @@ def main():
     K = 12
     prob = mg.poisson2d(k=K, dtype=jnp.float32)
     out = {}
-    for up in (False, True):
+    cases = [("jnp", False, None), ("pallas", True, None),
+             ("pallas_block", True, (1, 1))]
+    for name, up, bshape in cases:
         cfg = SolverConfig(ndim=2, k=K, dtype=jnp.float32, smoother="rbgs",
                            use_pallas=up)
-        solver = sharded.ShardedSolver(cfg, sharded.make_mesh())
+        mesh = (sharded.make_block_mesh(bshape) if bshape
+                else sharded.make_mesh())
+        solver = sharded.ShardedSolver(cfg, mesh)
         b_sh = sharded.shard_rhs(jnp.asarray(prob.b), solver.mesh,
                                  solver.decomp)
         vfn = solver.v_cycles_fn()       # m chained cycles, one dispatch
@@ -47,9 +51,9 @@ def main():
                            .astype(jnp.float32))
 
         t = _marginal(lambda m: float(cyc_m(b_sh, m)), k1=1, k2=5, reps=6)
-        out["pallas" if up else "jnp"] = t * 1e3
+        out[name] = t * 1e3
         log(f"[dist] sharded V(2,2) cycle k={K}, {len(jax.devices())} "
-            f"device(s), use_pallas={up}: {t * 1e3:.3f} ms")
+            f"device(s), {name}: {t * 1e3:.3f} ms")
         del solver, b_sh, vfn
 
     print(json.dumps({
@@ -57,6 +61,7 @@ def main():
         "value": round(out["pallas"], 3),
         "unit": "ms",
         "jnp_ms": round(out["jnp"], 3),
+        "block_ms": round(out["pallas_block"], 3),
         "speedup": round(out["jnp"] / out["pallas"], 2),
     }), flush=True)
 

@@ -160,11 +160,21 @@ def test_sharded_pcg_bf16_precond(monkeypatch):
     mesh = sharded.make_mesh(jax.devices()[:8])
     decomp = sharded.decomp_from_mesh(mesh, 2)
     assert sharded.mixed_leg_dtype(cfg_mixed, decomp) == jnp.bfloat16
-    # Gate: outside the whole-leg regime (block decomposition) the cast
-    # is skipped.
+    # Block decompositions run the whole-leg kernels too (round 4), so
+    # the gate admits them...
     bmesh = sharded.make_block_mesh((4, 2))
+    assert (sharded.mixed_leg_dtype(cfg_mixed,
+                                    sharded.decomp_from_mesh(bmesh, 2))
+            == jnp.bfloat16)
+    # ...but tiles too shallow for the halo fall back (and skip the cast).
     assert sharded.mixed_leg_dtype(
-        cfg_mixed, sharded.decomp_from_mesh(bmesh, 2)) is None
+        SolverConfig(**{**base, "k": 5}, precond_dtype=jnp.bfloat16),
+        decomp) is None
+
+    # Block-mesh mixed PCG converges to full tolerance too.
+    bsolver = sharded.ShardedSolver(cfg_mixed, bmesh)
+    bres = bsolver.solve(_rhs(cfg_full.n), method="pcg")
+    assert bool(bres.converged)
 
     b = _rhs(cfg_full.n)
     full = sharded.ShardedSolver(cfg_full, mesh).solve(b, method="pcg")
