@@ -683,6 +683,17 @@ def s_prolong(e, nc, decomp: Decomp):
     return jnp.where(mask, e, jnp.zeros_like(e))
 
 
+def _stack_map(fn, *arrs):
+    """Apply ``fn`` over the leading (block-vector) axis by STATIC python
+    unrolling instead of ``jax.vmap``: Mosaic rejects vmap of the
+    manual-DMA Pallas kernels (scratch + ANY-memspace refs have no
+    batching rule on real TPU; interpret mode hides it). The block size
+    is small and static, and the unrolled calls share one Mosaic kernel
+    compilation, so this costs trace time only."""
+    kk = arrs[0].shape[0]
+    return jnp.stack([fn(*(a[i] for a in arrs)) for i in range(kk)])
+
+
 def _psum_sq(x, decomp: Decomp):
     return jax.lax.psum(jnp.sum(x * x), decomp.mesh_axes)
 
@@ -1306,7 +1317,7 @@ class ShardedSolver:
             return v.reshape(v.shape[0], -1)
 
         def rayleigh(v):
-            av = jax.vmap(apply_local)(v)
+            av = _stack_map(apply_local, v)
             fv, fav = flat(v), flat(av)
             num = jax.lax.psum(jnp.sum(fv * fav, axis=1), mesh_axes)
             den = jax.lax.psum(jnp.sum(fv * fv, axis=1), mesh_axes)
@@ -1316,10 +1327,49 @@ class ShardedSolver:
                                         mesh_axes)) / jnp.abs(lam)
             return lam, jnp.max(res)
 
+        leg0 = _leg_level_ok(cfg, decomp, 0)
+
         def inner_solve(v, sigma):
             def one(rhs, sg):
                 rn = jnp.sqrt(jax.lax.psum(jnp.sum(rhs * rhs), mesh_axes))
                 rn = jnp.where(rn == 0, 1.0, rn)
+
+                if leg0:
+                    # Ext-carried inner loop (the _build_solve pattern):
+                    # the RHS is fixed across the inner cycles, so its
+                    # extended tile is built ONCE and the iterate stays
+                    # in extended layout — the per-cycle ext rebuilds of
+                    # the owned-tile entry would cost ~3 extra HBM
+                    # passes each.
+                    from ..kernels import local2d
+
+                    hh = local2d.HALO_ROWS
+                    ms = tuple(rhs.shape[a] for a, _, _ in decomp.axes)
+                    row_off, col_off, owned = _local_offsets(rhs, decomp,
+                                                             hh)
+                    be = _ext_aligned(rhs, decomp, hh, r_mult=16)
+
+                    def cond(st):
+                        we, i, rel = st
+                        return (rel >= inner_tol) & (i < inner_cycles)
+
+                    def body(st):
+                        we, i, rel = st
+                        we = _leg_cycle_ext(hier, cfg, decomp, we, be,
+                                            0, 1, sg, fresh=True)
+                        we = _refresh_ext(we, decomp, hh, ms)
+                        r = local2d.residual(we, be, n, h, row_off,
+                                             col_off, sigma=sg)
+                        ro = r[owned]
+                        rel = jnp.sqrt(jax.lax.psum(
+                            jnp.sum(ro * ro), mesh_axes)) / rn
+                        return we, i + 1, rel
+
+                    we, _, _ = jax.lax.while_loop(
+                        cond, body,
+                        (jnp.zeros_like(be), 0,
+                         jnp.ones((), dtype=dtype)))
+                    return we[owned]
 
                 def cond(st):
                     w, i, rel = st
@@ -1340,7 +1390,7 @@ class ShardedSolver:
                     (jnp.zeros_like(rhs), 0, jnp.ones((), dtype=dtype)))
                 return w
 
-            return jax.vmap(one)(v, sigma)
+            return _stack_map(one, v, sigma)
 
         def ritz(w):
             """Generalized Rayleigh-Ritz on the (non-orthonormal) block:
@@ -1353,7 +1403,7 @@ class ShardedSolver:
             scale = jnp.where(nrm0 == 0, 1.0, nrm0)
             w = w / scale.reshape((k,) + (1,) * (w.ndim - 1))
             f = flat(w)
-            aw = flat(jax.vmap(apply_local)(w))
+            aw = flat(_stack_map(apply_local, w))
             g = psum_dots(f, f)
             hm = psum_dots(f, aw)
             hm = 0.5 * (hm + hm.T)
@@ -1450,7 +1500,7 @@ class ShardedSolver:
         def rq_res(v):
             """Rayleigh quotients + residual tiles of an orthonormal
             block."""
-            av = jax.vmap(apply_local)(v)
+            av = _stack_map(apply_local, v)
             lam = jax.lax.psum(jnp.sum(flat(v) * flat(av), axis=1),
                                mesh_axes)
             r = av - lam.reshape(lam_shape) * v
@@ -1482,7 +1532,7 @@ class ShardedSolver:
                         out_dtype=_leg_cdt(pd))
                 return w.astype(dtype)
 
-            return jax.vmap(one)(r)
+            return _stack_map(one, r)
 
         def project_out(f, basis):
             for _ in range(2):
@@ -1508,7 +1558,7 @@ class ShardedSolver:
         def rr(s, nkeep):
             m = s.shape[0]
             g = gram(s, s)
-            hm = gram(s, jax.vmap(apply_local)(s))
+            hm = gram(s, _stack_map(apply_local, s))
             hm = 0.5 * (hm + hm.T)
             eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
             jit_g = g + (100.0 * eps * jnp.trace(g)) * jnp.eye(m,

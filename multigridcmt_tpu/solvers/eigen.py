@@ -9,8 +9,9 @@ level iteration starts from an O(h²)-accurate guess.
 
 Supports k >= 1 eigenpairs via block (subspace) inverse iteration with
 Rayleigh-Ritz projection. Everything after setup runs on device inside one
-jitted ``lax.while_loop``; the k inner MG solves are ``vmap``-ed over the
-block, so the stencil kernels see a batched leading axis and stay dense.
+jitted ``lax.while_loop``; the k inner MG solves unroll statically over
+the block (``_stack_map`` — Mosaic has no batching rule for the manual-DMA
+Pallas kernels, so ``vmap`` would fail on real TPU).
 
 Physics payload of the reference ("CMT"): the smallest eigenpair of the 2D
 Dirichlet Laplacian is the particle-in-a-box ground state, lambda_1 -> 2*pi^2
@@ -36,6 +37,17 @@ class EigenResult(NamedTuple):
     iters: jax.Array          # outer iterations taken
     res_history: jax.Array    # (max_iters + 1,) max eigen-residual per iter
     converged: jax.Array
+
+
+def _stack_map(fn, *arrs):
+    """Apply ``fn`` over the leading (block-vector) axis by STATIC python
+    unrolling instead of ``jax.vmap``: Mosaic rejects vmap of the
+    manual-DMA Pallas kernels inside the MG cycles (no batching rule for
+    scratch/ANY-memspace refs on real TPU; interpret mode hides it). The
+    block size is small and static, and the unrolled calls share one
+    Mosaic kernel compilation."""
+    kk = arrs[0].shape[0]
+    return jnp.stack([fn(*(a[i] for a in arrs)) for i in range(kk)])
 
 
 def _flat(v: jax.Array, ndim: int) -> jax.Array:
@@ -268,8 +280,8 @@ def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
                 (), dtype=dtype)))
             return bk.decode(w, n)
         if sigma is None:
-            return jax.vmap(one)(vv)
-        return jax.vmap(one)(vv, sigma)
+            return _stack_map(one, vv)
+        return _stack_map(one, vv, sigma)
 
     def ritz(vv):
         """Rayleigh-Ritz: orthonormalize, project, rotate to Ritz vectors."""
@@ -377,7 +389,7 @@ def lobpcg(hier: Hierarchy, config: SolverConfig, k: int = 1,
                 w = cycles.v_cycle(hier, w, rhs_e, config)
             return bk.decode(w, n).astype(r_flat.dtype)
 
-        return _flat(jax.vmap(one)(rp), ndim)
+        return _flat(_stack_map(one, rp), ndim)
 
     def rq_res(x):
         """Rayleigh quotients + residual rows of an orthonormal block."""
