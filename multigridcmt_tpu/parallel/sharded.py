@@ -709,6 +709,13 @@ def _level_rows(k: int, level: int) -> int:
 
 
 def _is_sharded(cfg: SolverConfig, decomp: Decomp, level: int) -> bool:
+    # The coarsest level is ALWAYS replicated (its direct solve runs on
+    # every device) — without this, a small mesh with small agglom_rows
+    # could leave the last level "sharded" and the cycle would recurse
+    # past the hierarchy (e.g. k=5 on a 2x2 mesh: the 4-row coarsest
+    # level splits 2/device >= agglom_rows).
+    if level >= len(cfg.level_sizes()) - 1:
+        return False
     rows = _level_rows(cfg.k, level)
     for _, _, nd in decomp.axes:
         if rows % nd != 0 or rows // nd < max(cfg.agglom_rows, 2):
