@@ -1191,8 +1191,53 @@ class ShardedSolver:
         from ..solvers.krylov import cg_loop
 
         pd = mixed_leg_dtype(cfg, decomp)
+        leg0 = _leg_level_ok(cfg, decomp, 0)
 
         def local_pcg(b, x0):
+            if pd is None and leg0:
+                # Ext-carried CG: cg_loop's injected primitives are
+                # representation-agnostic, so the whole Krylov recurrence
+                # (x, r, z, p and their axpys) runs on EXTENDED tiles —
+                # linear combinations preserve exact ghosts, kernels
+                # only need a slab refresh of their operand, and the
+                # per-primitive ext-rebuild/slice copies of the
+                # owned-tile entry disappear. Dots reduce over the owned
+                # slice (a fused masked reduction, no materialized copy).
+                from ..kernels import local2d
+
+                hh = local2d.HALO_ROWS
+                ms = tuple(x0.shape[a] for a, _, _ in decomp.axes)
+                row_off, col_off, owned = _local_offsets(x0, decomp, hh)
+                be = _ext_aligned(b, decomp, hh, r_mult=16)
+                xe = _ext_aligned(x0, decomp, hh, r_mult=16)
+                zeros_e = jnp.zeros_like(be)
+
+                def pdot(u, v):
+                    return jax.lax.psum(jnp.sum(u[owned] * v[owned]),
+                                        decomp.mesh_axes)
+
+                def apply_a(pe):
+                    pf = _refresh_ext(pe, decomp, hh, ms)
+                    return -local2d.residual(pf, zeros_e, n, h, row_off,
+                                             col_off)
+
+                def precond(re):
+                    rf = _refresh_ext(re, decomp, hh, ms)
+                    return _leg_cycle_ext(hier, cfg, decomp,
+                                          jnp.zeros_like(rf), rf, 0,
+                                          gamma, 0.0, fresh=True)
+
+                def residual_e(xx, bb):
+                    xf = _refresh_ext(xx, decomp, hh, ms)
+                    return local2d.residual(xf, bb, n, h, row_off,
+                                            col_off)
+
+                x, iters, hist, rel = cg_loop(
+                    xe, be, dot=pdot, apply_a=apply_a, precond=precond,
+                    residual=residual_e, tol=cfg.tol,
+                    max_iters=cfg.max_iters)
+                return x[owned], iters, hist, rel < cfg.tol
+
             def pdot(u, v):
                 return jax.lax.psum(jnp.sum(u * v), decomp.mesh_axes)
 
