@@ -218,3 +218,17 @@ def test_eigensolve_fns_cached_no_retrace():
     n_fns2 = len(s._solve_fns)
     s.eigensolve(k=1, method="lobpcg", tol=1e-7)
     assert len(s._solve_fns) == n_fns2
+
+
+def test_coarsest_level_never_sharded():
+    """The coarsest level's direct solve is always replicated: a small
+    mesh with small agglom_rows must not leave the last level "sharded"
+    (the cycle would recurse past the hierarchy — caught by the driver
+    dryrun at 4 devices on a 2x2 mesh)."""
+    cfg = SolverConfig(ndim=2, k=5, dtype=jnp.float64, agglom_rows=2)
+    mesh = sharded.make_block_mesh((2, 2))
+    dec = sharded.decomp_from_mesh(mesh, 2)
+    last = len(cfg.level_sizes()) - 1
+    assert not sharded._is_sharded(cfg, dec, last)
+    # ... while earlier levels with enough local rows still are.
+    assert sharded._is_sharded(cfg, dec, 0)
