@@ -59,8 +59,10 @@ class SolverConfig:
         2D Pallas tier (``ndim == 2``, ``use_pallas``, fine
         ``n >= kernels.PACK_MIN_N`` — ``solvers.krylov.
         mixed_cycle_dtype``); distributed, the whole-leg shard-local
-        tier (2D row decompositions with ``use_pallas`` —
-        ``parallel.sharded.mixed_leg_dtype``). Everywhere else the cast
+        tier (2D row AND block decompositions with ``use_pallas`` —
+        ``parallel.sharded.mixed_leg_dtype``, gated by the same
+        ``_leg_level_ok`` check the cycle dispatch uses). Everywhere
+        else the cast
         is skipped and the preconditioner runs in full ``dtype``.
         Ignored by the plain stationary solve (``cycles.solve``), which
         has no high-precision outer correction to lean on.

@@ -683,15 +683,9 @@ def s_prolong(e, nc, decomp: Decomp):
     return jnp.where(mask, e, jnp.zeros_like(e))
 
 
-def _stack_map(fn, *arrs):
-    """Apply ``fn`` over the leading (block-vector) axis by STATIC python
-    unrolling instead of ``jax.vmap``: Mosaic rejects vmap of the
-    manual-DMA Pallas kernels (scratch + ANY-memspace refs have no
-    batching rule on real TPU; interpret mode hides it). The block size
-    is small and static, and the unrolled calls share one Mosaic kernel
-    compilation, so this costs trace time only."""
-    kk = arrs[0].shape[0]
-    return jnp.stack([fn(*(a[i] for a in arrs)) for i in range(kk)])
+# Static-unroll block map (vmap of the manual-DMA Pallas kernels fails on
+# real TPU) — single-sourced in solvers.eigen next to the shared drivers.
+from ..solvers.eigen import _stack_map
 
 
 def _psum_sq(x, decomp: Decomp):

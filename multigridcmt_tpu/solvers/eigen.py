@@ -212,7 +212,7 @@ def coarse_init(hier: Hierarchy, k: int, dtype) -> jax.Array:
 def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
                method: str = "ii", tol: float = 1e-8, max_iters: int = 100,
                inner_cycles: int = 30, inner_tol: float | None = None,
-               rqi_backoff: float = 0.9) -> EigenResult:
+               rqi_backoff: float = RQI_BACKOFF) -> EigenResult:
     """Find the k smallest eigenpairs of the discrete Laplacian.
 
     method="ii": block inverse iteration — each outer step MG-solves

@@ -61,5 +61,13 @@ def resume_solve(solver, path: str, b=None, **solve_kwargs):
     if b is None and "b" in state:
         b = jnp.asarray(state["b"])
     if b is None:
+        if not hasattr(solver, "problem"):
+            # ShardedSolver has no stored RHS: solver.solve(b, ...) needs
+            # it explicitly, and falling through would raise an opaque
+            # TypeError about a missing positional argument.
+            raise ValueError(
+                "ShardedSolver resume needs the RHS: pass b= to "
+                "resume_solve, or save it in the snapshot via "
+                'extra={"b": ...}')
         return solver.solve(x0=x0, **solve_kwargs)
     return solver.solve(b, x0=x0, **solve_kwargs)
