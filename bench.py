@@ -79,9 +79,13 @@ def bench_tpu():
     # item 1): the r03-captured 1.45 ms headline came from a k2-k1=8,
     # reps=4 estimate whose ~2 ms dispatch-noise tail is the same order
     # as the quantity; >= 20 cycles of spread and min-over-6 keeps the
-    # estimate inside the run-to-run band.
-    vcycle_ms = _marginal(lambda m: float(cycles_m(b, m)), k1=2, k2=22,
-                          reps=6) * 1e3
+    # estimate inside the run-to-run band. Round-4 weak item 1: the
+    # tunnel occasionally produces a WHOLE-RUN outlier (adjacent runs of
+    # identical code differing 2.3x), so the captured number is the min
+    # of TWO fully independent estimates, separated by the sweep bench —
+    # corrupting it now takes two bad windows in one run.
+    est_a = _marginal(lambda m: float(cycles_m(b, m)), k1=2, k2=22,
+                      reps=6) * 1e3
 
     @jax.jit
     def sweeps_m(b, m):
@@ -104,7 +108,12 @@ def bench_tpu():
     log(f"[bench] n={n} rbgs sweep {sweep_s * 1e6:.0f} us, "
         f"{gbps:.0f} GB/s ({100 * gbps / HBM_GBPS:.0f}% of HBM roofline), "
         f"{nnz_per_s / 1e9:.1f} Gnnz/s")
-    log(f"[bench] V(2,2) cycle at {n}x{n}: {vcycle_ms:.2f} ms")
+
+    est_b = _marginal(lambda m: float(cycles_m(b, m)), k1=2, k2=22,
+                      reps=6) * 1e3
+    vcycle_ms = min(est_a, est_b)
+    log(f"[bench] V(2,2) cycle at {n}x{n}: {vcycle_ms:.2f} ms "
+        f"(independent estimates {est_a:.3f} / {est_b:.3f})")
     return vcycle_ms
 
 

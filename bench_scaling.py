@@ -55,7 +55,8 @@ def main():
     for d in sizes:
         k = args.local_k + int(np.log2(d))
         cfg = SolverConfig(ndim=2, k=k, dtype=jnp.float32,
-                           smoother=args.smoother)
+                           smoother=args.smoother,
+                           use_pallas=jax.default_backend() == "tpu")
         mesh = sharded.make_mesh(jax.devices()[:d])
         solver = sharded.ShardedSolver(cfg, mesh)
         n = cfg.n
@@ -84,9 +85,18 @@ def main():
             tb = time.perf_counter() - t0
             dts.append((tb - ta) / (m2 - m1))
         dt = min(dts)
+        # Per-device exchanged bytes per cycle, read off the traced
+        # jaxpr (utils/comm_audit.py) — the comm surface the wall-clock
+        # numbers ride on.
+        from multigridcmt_tpu.utils import comm_audit
+        aud = comm_audit.audit(solver.v_cycle_fn(), zero, b_sh)
+        xb = aud["bytes"].get("ppermute", 0)
         results.append((d, n, dt))
         print(json.dumps({"devices": d, "grid": f"{n}x{n}",
-                          "cycle_ms": round(dt * 1e3, 3)}), flush=True)
+                          "cycle_ms": round(dt * 1e3, 3),
+                          "ppermutes": aud["counts"].get("ppermute", 0),
+                          "exchanged_mb_per_cycle": round(xb / 1e6, 3)}),
+              flush=True)
 
     t1 = results[0][2]
     effs = {d: round(t1 / dt, 3) for d, _, dt in results}

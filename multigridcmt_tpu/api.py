@@ -143,18 +143,21 @@ class MultigridSolver:
 
     def eigensolve(self, k: int = 1, method: str = "ii", tol: float = 1e-8,
                    max_iters: int = 100, inner_cycles: int = 30,
-                   inner_tol: float | None = None) -> eigen.EigenResult:
+                   inner_tol: float | None = None,
+                   v0: Optional[jax.Array] = None) -> eigen.EigenResult:
         """k smallest eigenpairs. method="ii" (block inverse iteration,
         reference parity), "rqi" (Rayleigh-quotient shifts), or "lobpcg"
         (MG-preconditioned LOBPCG — one V-cycle per vector per step
-        instead of a full inner solve; the fastest of the three)."""
+        instead of a full inner solve; the fastest of the three).
+        ``v0`` (a (k, *padded) block) warm-starts the iteration —
+        checkpoint resume (``utils.checkpoint.resume_solve``)."""
         if method == "lobpcg":
             return eigen.lobpcg(self.hierarchy, self.config, k=k, tol=tol,
-                                max_iters=max_iters)
+                                max_iters=max_iters, v0=v0)
         return eigen.eigensolve(self.hierarchy, self.config, k=k,
                                 method=method, tol=tol, max_iters=max_iters,
                                 inner_cycles=inner_cycles,
-                                inner_tol=inner_tol)
+                                inner_tol=inner_tol, v0=v0)
 
     def as_csr(self) -> sparse.CSR:
         """The fine-level operator as an explicit CSR matrix (parity with

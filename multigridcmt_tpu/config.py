@@ -46,9 +46,11 @@ class SolverConfig:
       agglom_rows: once a level's *local* row count would drop below this,
         the level is agglomerated (replicated on all devices) rather than
         kept sharded — SURVEY.md §3.5 / BASELINE.json config 5.
-      precond_dtype: if set (e.g. ``jnp.bfloat16``), Krylov-wrapped solves
-        (MG-PCG via ``solvers.krylov``, MG-LOBPCG via ``solvers.eigen``)
-        run their V-cycle *preconditioner* in this dtype while the outer
+      precond_dtype: if set (e.g. ``jnp.bfloat16``), outer-corrected
+        solves (MG-PCG via ``solvers.krylov``, MG-LOBPCG via
+        ``solvers.eigen``, and the II/RQI ``eigensolve`` inner MG solves
+        — run as defect-correction iterative refinement) run their
+        V-cycle *preconditioner* in this dtype while the outer
         iteration stays in ``dtype`` — classic mixed-precision iterative
         refinement. bfloat16 is the TPU-native low precision: it halves
         the fine level's HBM traffic, and the flexible outer loop (already

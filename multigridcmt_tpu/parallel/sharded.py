@@ -362,15 +362,60 @@ def _refresh_ext(ue, decomp: Decomp, hh: int, ms):
     then carry the refreshed row ghosts, i.e. the corner values, exactly
     as _ext_aligned's sequential extension does) — slab ppermutes + slab
     updates instead of rebuilding the whole extended tile. ``ms``: owned
-    extent per sharded axis, aligned with ``decomp.axes``."""
+    extent per sharded axis, aligned with ``decomp.axes``.
+
+    Color-packed tiles (rank 3, kernels/plocal2d.py) refresh the same
+    way: row slabs move on the plane axis + 1; column ghost slabs are
+    lane slabs of BOTH planes at half depth (hh aligned lanes == hh/2
+    packed lanes per plane; the packing parity is invariant under the
+    mcol shift between column neighbors — mcol is even)."""
+    packed = ue.ndim == 3
     for (a, ma, ndev), m in zip(decomp.axes, ms):
-        v = jnp.moveaxis(ue, a, 0)
-        near = jax.lax.ppermute(v[m:hh + m], ma, _perm_down(ndev))
-        far = jax.lax.ppermute(v[hh:2 * hh], ma, _perm_up(ndev))
+        if packed:
+            axis, hloc, mloc = ((1, hh, m) if a == 0
+                                else (2, hh // 2, m // 2))
+        else:
+            axis, hloc, mloc = a, hh, m
+        v = jnp.moveaxis(ue, axis, 0)
+        near = jax.lax.ppermute(v[mloc:hloc + mloc], ma, _perm_down(ndev))
+        far = jax.lax.ppermute(v[hloc:2 * hloc], ma, _perm_up(ndev))
         v = jax.lax.dynamic_update_slice_in_dim(v, near, 0, axis=0)
-        v = jax.lax.dynamic_update_slice_in_dim(v, far, hh + m, axis=0)
-        ue = jnp.moveaxis(v, 0, a)
+        v = jax.lax.dynamic_update_slice_in_dim(v, far, hloc + mloc,
+                                                axis=0)
+        ue = jnp.moveaxis(v, 0, axis)
     return ue
+
+
+def _pack_level_ok(cfg: SolverConfig, decomp: Decomp, level: int) -> bool:
+    """STATIC: this level's ext tiles live COLOR-PACKED and run the
+    plocal2d whole-leg kernels — the aligned leg path is available AND
+    the level is big enough to amortize packing. Exactly one packed
+    level (the finest): the packed down leg emits its coarse RHS in the
+    aligned extended convention in-kernel, so no packed<->packed
+    crossing ever exists (the single-device tier's measured optimum,
+    kernels/__init__.py PACK_MIN_N notes)."""
+    from ..kernels import PACK_MIN_N
+
+    return (level == 0 and 2 ** cfg.k - 1 >= PACK_MIN_N
+            and _leg_level_ok(cfg, decomp, level))
+
+
+def _cpar(decomp: Decomp) -> int:
+    """Packing column-parity phase: parity of the tile's global column
+    offset (plocal2d module notes) — 0 when columns carry the global
+    padding (rows), 1 when sharded (col_off = d*mcol + 1 - hh, odd)."""
+    return 1 if len(decomp.axes) == 2 else 0
+
+
+def _packed_owned(decomp: Decomp, ms):
+    """Owned-region slices of a PACKED extended tile: rows [hh, hh+m);
+    lanes all (rows decomposition — the kernels zero non-interior lanes)
+    or the owned packed lanes [hh/2, hh/2 + mcol/2) (blocks)."""
+    from ..kernels.local2d import HALO_ROWS as hh
+
+    lane_sl = (slice(hh // 2, hh // 2 + ms[1] // 2)
+               if len(ms) == 2 else slice(None))
+    return (slice(None), slice(hh, hh + ms[0]), lane_sl)
 
 
 def _ext_coarse_tile(ec, decomp: Decomp, rows_out: int, cols_out: int):
@@ -774,11 +819,15 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
     back as this level's correction operand — zero relayout copies
     between kernels.
 
-    xe/be: extended aligned tiles; xe's ghosts may be stale unless
-    ``fresh``. Returns the post-smoothed extended tile (ghosts STALE)."""
-    from ..kernels import local2d
+    xe/be: extended aligned tiles — or packed (2, r, cp) tiles when the
+    level packs (``_pack_level_ok``; the coarse RHS crosses to the
+    aligned convention in-kernel, so everything below this level is
+    unchanged). xe's ghosts may be stale unless ``fresh``. Returns the
+    post-smoothed extended tile (ghosts STALE) in the level's layout."""
+    from ..kernels import local2d, plocal2d
 
     hh = local2d.HALO_ROWS
+    packed = _pack_level_ok(cfg, decomp, level)
     spec = hier.levels[level]
     n, h = spec.n, spec.h
     omega = cfg.effective_omega()
@@ -799,7 +848,8 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
         mcs = (mc,)
     if not fresh:
         xe = _refresh_ext(xe, decomp, hh, ms)
-    us_ext, rc_ext = local2d.down_leg(xe, be, n, h, m, row_off, col_off,
+    leg_mod = plocal2d if packed else local2d
+    us_ext, rc_ext = leg_mod.down_leg(xe, be, n, h, m, row_off, col_off,
                                       kind=cfg.smoother, omega=omega,
                                       sweeps=cfg.nu1, sigma=sigma,
                                       mcol=mcol)
@@ -840,7 +890,7 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
         ee = _slice_coarse_ext(ec_full, decomp, rc_ext.shape[0],
                                rc_ext.shape[1])
     xe2 = _refresh_ext(us_ext, decomp, hh, ms)
-    return local2d.up_leg(xe2, ee, be, n, ncoarse, h, m, row_off, col_off,
+    return leg_mod.up_leg(xe2, ee, be, n, ncoarse, h, m, row_off, col_off,
                           kind=cfg.smoother, omega=omega, sweeps=cfg.nu2,
                           sigma=sigma, out_dtype=out_dtype, mcol=mcol)
 
@@ -866,17 +916,25 @@ def mixed_leg_dtype(cfg: SolverConfig, decomp: Decomp):
 def _sharded_v_cycle_leg(hier: Hierarchy, cfg: SolverConfig,
                          decomp: Decomp, x, b, level: int, gamma: int,
                          sigma, out_dtype=None):
-    """Owned-tile entry to the ext-form whole-leg cycle (used by the PCG
-    preconditioner and the eigensolver inner solves; the MG solve loop
-    carries extended tiles across cycles itself — see _build_solve)."""
-    from ..kernels import local2d
+    """Owned-tile entry to the ext-form whole-leg cycle (used by the
+    mixed-precision LOBPCG preconditioner and small paths; the MG solve
+    loop, PCG, and the eigensolver inner loops carry extended tiles
+    across cycles themselves — see _build_solve)."""
+    from ..kernels import local2d, plocal2d
 
     hh = local2d.HALO_ROWS
     _, _, owned = _local_offsets(x, decomp, hh)
     xe = _ext_aligned(x, decomp, hh, r_mult=16)
     be = _ext_aligned(b, decomp, hh, r_mult=16)
+    packed = _pack_level_ok(cfg, decomp, level)
+    if packed:
+        cpar, c_ext = _cpar(decomp), xe.shape[1]
+        xe = plocal2d.pack_ext(xe, cpar)
+        be = plocal2d.pack_ext(be, cpar)
     out = _leg_cycle_ext(hier, cfg, decomp, xe, be, level, gamma, sigma,
                          fresh=True, out_dtype=out_dtype)
+    if packed:
+        out = plocal2d.unpack_ext(out, c_ext, cpar)
     return out[owned]
 
 
@@ -1105,19 +1163,33 @@ class ShardedSolver:
                 # Ext-carried loop: b's extended tile is built ONCE
                 # (loop-invariant) and x stays in extended layout across
                 # cycles — the convergence check's residual runs on the
-                # refreshed tile the next cycle reuses.
-                from ..kernels import local2d
+                # refreshed tile the next cycle reuses. When the fine
+                # level packs, the tiles are carried COLOR-PACKED
+                # end-to-end (plocal2d): pack/unpack cost once per
+                # solve, every kernel does half the VPU work.
+                from ..kernels import local2d, plocal2d
 
                 hh = local2d.HALO_ROWS
+                packed0 = _pack_level_ok(cfg, decomp, 0)
                 ms = tuple(x.shape[a] for a, _, _ in decomp.axes)
                 row_off, col_off, owned = _local_offsets(x, decomp, hh)
                 be = _ext_aligned(b, decomp, hh, r_mult=16)
                 x = _ext_aligned(x, decomp, hh, r_mult=16)
+                if packed0:
+                    cpar, c_ext = _cpar(decomp), be.shape[1]
+                    be = plocal2d.pack_ext(be, cpar)
+                    x = plocal2d.pack_ext(x, cpar)
+                    owned_p = _packed_owned(decomp, ms)
 
                 def res_rel(xe_fresh):
-                    r = local2d.residual(xe_fresh, be, n, h, row_off,
-                                         col_off)
-                    ro = r[owned]
+                    if packed0:
+                        r = plocal2d.residual(xe_fresh, be, n, h,
+                                              row_off, col_off)
+                        ro = r[owned_p]
+                    else:
+                        r = local2d.residual(xe_fresh, be, n, h, row_off,
+                                             col_off)
+                        ro = r[owned]
                     return jnp.sqrt(jax.lax.psum(
                         jnp.sum(ro * ro), decomp.mesh_axes)) / b_norm
 
@@ -1156,6 +1228,8 @@ class ShardedSolver:
             x, iters, hist, rel, _, _ = jax.lax.while_loop(
                 cond, body, (x, 0, hist0, r0, 0, 0))
             if leg:
+                if packed0:
+                    x = plocal2d.unpack_ext(x, c_ext, cpar)
                 x = x[owned]
             idx = jnp.arange(cfg.max_iters + 1)
             hist = jnp.where(idx <= iters, hist, rel)
@@ -1188,22 +1262,36 @@ class ShardedSolver:
         leg0 = _leg_level_ok(cfg, decomp, 0)
 
         def local_pcg(b, x0):
-            if pd is None and leg0:
+            if leg0:
                 # Ext-carried CG: cg_loop's injected primitives are
                 # representation-agnostic, so the whole Krylov recurrence
-                # (x, r, z, p and their axpys) runs on EXTENDED tiles —
-                # linear combinations preserve exact ghosts, kernels
-                # only need a slab refresh of their operand, and the
-                # per-primitive ext-rebuild/slice copies of the
-                # owned-tile entry disappear. Dots reduce over the owned
-                # slice (a fused masked reduction, no materialized copy).
-                from ..kernels import local2d
+                # (x, r, z, p and their axpys) runs on EXTENDED tiles
+                # (color-packed when the fine level packs) — linear
+                # combinations preserve exact ghosts, kernels only need
+                # a slab refresh of their operand, and the per-primitive
+                # ext-rebuild/slice copies of the owned-tile entry
+                # disappear. Dots reduce over the owned slice (a fused
+                # masked reduction, no materialized copy). Mixed
+                # precision casts at the preconditioner boundary only
+                # (elementwise — no relayout): the cycle runs at
+                # precond_dtype with the top level's up leg emitting f32
+                # (the bf16 final-store noise rule, BASELINE.md round-4).
+                from ..kernels import local2d, plocal2d
 
                 hh = local2d.HALO_ROWS
+                packed0 = _pack_level_ok(cfg, decomp, 0)
                 ms = tuple(x0.shape[a] for a, _, _ in decomp.axes)
                 row_off, col_off, owned = _local_offsets(x0, decomp, hh)
                 be = _ext_aligned(b, decomp, hh, r_mult=16)
                 xe = _ext_aligned(x0, decomp, hh, r_mult=16)
+                if packed0:
+                    cpar, c_ext = _cpar(decomp), be.shape[1]
+                    be = plocal2d.pack_ext(be, cpar)
+                    xe = plocal2d.pack_ext(xe, cpar)
+                    owned = _packed_owned(decomp, ms)
+                    res_kernel = plocal2d.residual
+                else:
+                    res_kernel = local2d.residual
                 zeros_e = jnp.zeros_like(be)
 
                 def pdot(u, v):
@@ -1212,25 +1300,41 @@ class ShardedSolver:
 
                 def apply_a(pe):
                     pf = _refresh_ext(pe, decomp, hh, ms)
-                    return -local2d.residual(pf, zeros_e, n, h, row_off,
-                                             col_off)
+                    return -res_kernel(pf, zeros_e, n, h, row_off,
+                                       col_off)
 
-                def precond(re):
-                    rf = _refresh_ext(re, decomp, hh, ms)
-                    return _leg_cycle_ext(hier, cfg, decomp,
-                                          jnp.zeros_like(rf), rf, 0,
-                                          gamma, 0.0, fresh=True)
+                if pd is None:
+                    def precond(re):
+                        rf = _refresh_ext(re, decomp, hh, ms)
+                        return _leg_cycle_ext(hier, cfg, decomp,
+                                              jnp.zeros_like(rf), rf, 0,
+                                              gamma, 0.0, fresh=True)
+                else:
+                    from ..kernels.local2d import _cdt as _leg_cdt
+
+                    def precond(re):
+                        rp = _refresh_ext(re, decomp, hh,
+                                          ms).astype(pd)
+                        z = _leg_cycle_ext(hier, cfg, decomp,
+                                           jnp.zeros_like(rp), rp, 0,
+                                           gamma, 0.0, fresh=True,
+                                           out_dtype=_leg_cdt(pd))
+                        return z.astype(re.dtype)
 
                 def residual_e(xx, bb):
                     xf = _refresh_ext(xx, decomp, hh, ms)
-                    return local2d.residual(xf, bb, n, h, row_off,
-                                            col_off)
+                    return res_kernel(xf, bb, n, h, row_off, col_off)
 
                 x, iters, hist, rel = cg_loop(
                     xe, be, dot=pdot, apply_a=apply_a, precond=precond,
                     residual=residual_e, tol=cfg.tol,
                     max_iters=cfg.max_iters)
-                return x[owned], iters, hist, rel < cfg.tol
+                if packed0:
+                    _, _, owned_a = _local_offsets(x0, decomp, hh)
+                    x = plocal2d.unpack_ext(x, c_ext, cpar)[owned_a]
+                else:
+                    x = x[owned]
+                return x, iters, hist, rel < cfg.tol
 
             def pdot(u, v):
                 return jax.lax.psum(jnp.sum(u * v), decomp.mesh_axes)
@@ -1239,30 +1343,11 @@ class ShardedSolver:
                 return -s_residual(p, jnp.zeros_like(p), n, h, decomp,
                                    use_pallas=cfg.use_pallas)
 
-            if pd is None:
-                def precond(r):
-                    return _sharded_v_cycle(hier, cfg, decomp,
-                                            jnp.zeros_like(r), r, 0,
-                                            gamma)
-            else:
-                # Mixed precision: the V-cycle preconditioner runs in
-                # precond_dtype (bf16 tiles through the whole-leg
-                # kernels); the outer flexible-CG recurrence and every
-                # dot stays in dtype (krylov.solve_pcg semantics). The
-                # top level's up leg emits its result at f32 — the
-                # post-smoothing has damped every intermediate bf16
-                # store's (high-frequency) rounding noise, and a final
-                # bf16 store would re-inject O(eps_bf16/h^2) residual
-                # noise that stalls the outer loop at large grids
-                # (measured: k=12 diverge-guard abort without this).
-                from ..kernels.local2d import _cdt as _leg_cdt
-
-                def precond(r):
-                    rp = r.astype(pd)
-                    z = _sharded_v_cycle_leg(
-                        hier, cfg, decomp, jnp.zeros_like(rp), rp, 0,
-                        gamma, 0.0, out_dtype=_leg_cdt(pd))
-                    return z.astype(r.dtype)
+            # pd is None here: mixed_leg_dtype gates on the leg path.
+            def precond(r):
+                return _sharded_v_cycle(hier, cfg, decomp,
+                                        jnp.zeros_like(r), r, 0,
+                                        gamma)
 
             x, iters, hist, rel = cg_loop(
                 x0, b, dot=pdot, apply_a=apply_a,
@@ -1323,7 +1408,8 @@ class ShardedSolver:
 
     def eigensolve(self, k: int = 1, method: str = "ii", tol: float = 1e-8,
                    max_iters: int = 100, inner_cycles: int = 30,
-                   inner_tol: Optional[float] = None):
+                   inner_tol: Optional[float] = None,
+                   v0: Optional[jax.Array] = None):
         """Distributed MG eigensolver: k smallest eigenpairs (SURVEY.md
         §3.3 on the §3.5 runtime).
 
@@ -1338,7 +1424,7 @@ class ShardedSolver:
 
         if method == "lobpcg":
             return self._eigensolve_lobpcg(k=k, tol=tol,
-                                           max_iters=max_iters)
+                                           max_iters=max_iters, v0=v0)
         if method not in ("ii", "rqi"):
             raise ValueError(f"unknown eigensolver method {method!r}")
         cfg, hier, decomp = self.config, self.hierarchy, self.decomp
@@ -1374,6 +1460,7 @@ class ShardedSolver:
             return lam, jnp.max(res)
 
         leg0 = _leg_level_ok(cfg, decomp, 0)
+        pd_leg = mixed_leg_dtype(cfg, decomp)
 
         def inner_solve(v, sigma):
             def one(rhs, sg):
@@ -1384,37 +1471,80 @@ class ShardedSolver:
                     # Ext-carried inner loop (the _build_solve pattern):
                     # the RHS is fixed across the inner cycles, so its
                     # extended tile is built ONCE and the iterate stays
-                    # in extended layout — the per-cycle ext rebuilds of
-                    # the owned-tile entry would cost ~3 extra HBM
-                    # passes each.
-                    from ..kernels import local2d
+                    # in extended layout (color-packed when the fine
+                    # level packs) — the per-cycle ext rebuilds of the
+                    # owned-tile entry would cost ~3 extra HBM passes
+                    # each.
+                    from ..kernels import local2d, plocal2d
 
                     hh = local2d.HALO_ROWS
+                    packed0 = _pack_level_ok(cfg, decomp, 0)
                     ms = tuple(rhs.shape[a] for a, _, _ in decomp.axes)
                     row_off, col_off, owned = _local_offsets(rhs, decomp,
                                                              hh)
                     be = _ext_aligned(rhs, decomp, hh, r_mult=16)
+                    if packed0:
+                        cpar, c_ext = _cpar(decomp), be.shape[1]
+                        be = plocal2d.pack_ext(be, cpar)
+                        owned_l = _packed_owned(decomp, ms)
+                        res_kernel = plocal2d.residual
+                    else:
+                        owned_l = owned
+                        res_kernel = local2d.residual
 
                     def cond(st):
-                        we, i, rel = st
-                        return (rel >= inner_tol) & (i < inner_cycles)
+                        # state ends with (..., i, rel) on both paths
+                        return ((st[-1] >= inner_tol)
+                                & (st[-2] < inner_cycles))
 
-                    def body(st):
-                        we, i, rel = st
-                        we = _leg_cycle_ext(hier, cfg, decomp, we, be,
-                                            0, 1, sg, fresh=True)
-                        we = _refresh_ext(we, decomp, hh, ms)
-                        r = local2d.residual(we, be, n, h, row_off,
-                                             col_off, sigma=sg)
-                        ro = r[owned]
-                        rel = jnp.sqrt(jax.lax.psum(
-                            jnp.sum(ro * ro), mesh_axes)) / rn
-                        return we, i + 1, rel
+                    if pd_leg is None:
+                        def body(st):
+                            we, i, rel = st
+                            we = _leg_cycle_ext(hier, cfg, decomp, we,
+                                                be, 0, 1, sg, fresh=True)
+                            we = _refresh_ext(we, decomp, hh, ms)
+                            r = res_kernel(we, be, n, h, row_off,
+                                           col_off, sigma=sg)
+                            ro = r[owned_l]
+                            rel = jnp.sqrt(jax.lax.psum(
+                                jnp.sum(ro * ro), mesh_axes)) / rn
+                            return we, i + 1, rel
 
-                    we, _, _ = jax.lax.while_loop(
-                        cond, body,
-                        (jnp.zeros_like(be), 0,
-                         jnp.ones((), dtype=dtype)))
+                        we, _, _ = jax.lax.while_loop(
+                            cond, body,
+                            (jnp.zeros_like(be), 0,
+                             jnp.ones((), dtype=dtype)))
+                    else:
+                        # Mixed-precision ITERATIVE REFINEMENT (round-4
+                        # item 5): the cycle runs at precond_dtype on
+                        # the defect computed at full dtype, with the
+                        # f32-emitting top level — the inner solve still
+                        # reaches inner_tol at dtype grade.
+                        from ..kernels.local2d import _cdt as _leg_cdt
+
+                        def body(st):
+                            we, re, i, rel = st
+                            rf = _refresh_ext(re, decomp, hh, ms)
+                            rp = rf.astype(pd_leg)
+                            dw = _leg_cycle_ext(
+                                hier, cfg, decomp, jnp.zeros_like(rp),
+                                rp, 0, 1, sg, fresh=True,
+                                out_dtype=_leg_cdt(pd_leg))
+                            we = we + dw.astype(dtype)
+                            we = _refresh_ext(we, decomp, hh, ms)
+                            re = res_kernel(we, be, n, h, row_off,
+                                            col_off, sigma=sg)
+                            ro = re[owned_l]
+                            rel = jnp.sqrt(jax.lax.psum(
+                                jnp.sum(ro * ro), mesh_axes)) / rn
+                            return we, re, i + 1, rel
+
+                        we, _, _, _ = jax.lax.while_loop(
+                            cond, body,
+                            (jnp.zeros_like(be), be, 0,
+                             jnp.ones((), dtype=dtype)))
+                    if packed0:
+                        we = plocal2d.unpack_ext(we, c_ext, cpar)
                     return we[owned]
 
                 def cond(st):
@@ -1496,8 +1626,15 @@ class ShardedSolver:
             ))
 
         # Nested-iteration start (replicated, host-side setup as in the
-        # single-device path), sharded into owned tiles.
-        v0 = seigen.coarse_init(self.hierarchy, k, dtype)   # (k, *padded)
+        # single-device path) — or a caller-supplied warm start
+        # (checkpoint resume) — sharded into owned tiles. The block is
+        # re-orthonormalized by the first Ritz step, so any spanning set
+        # works; ghosts are sanitized per the zero-ghost invariant.
+        if v0 is None:
+            v0 = seigen.coarse_init(self.hierarchy, k, dtype)
+        else:
+            v0 = jax.vmap(lambda u: pad_interior(interior(u)))(
+                jnp.asarray(v0, dtype))
         sl = (slice(None),) + tuple(
             slice(1, None) if decomp.info(a) is not None else slice(None)
             for a in range(cfg.ndim))
@@ -1513,7 +1650,8 @@ class ShardedSolver:
             res_history=hist, converged=conv)
 
     def _eigensolve_lobpcg(self, k: int, tol: float, max_iters: int,
-                           precond_cycles: int = 1):
+                           precond_cycles: int = 1,
+                           v0: Optional[jax.Array] = None):
         """Distributed MG-preconditioned LOBPCG (the sharded twin of
         solvers/eigen.lobpcg): Rayleigh-Ritz on span{X, T R, P} with T one
         distributed V-cycle, every Gram matrix psum-ed over the mesh, the
@@ -1653,7 +1791,11 @@ class ShardedSolver:
                 check_vma=False,
             ))
 
-        v0 = seigen.coarse_init(self.hierarchy, k, dtype)
+        if v0 is None:
+            v0 = seigen.coarse_init(self.hierarchy, k, dtype)
+        else:
+            v0 = jax.vmap(lambda u: pad_interior(interior(u)))(
+                jnp.asarray(v0, dtype))
         sl = (slice(None),) + tuple(
             slice(1, None) if decomp.info(a) is not None else slice(None)
             for a in range(cfg.ndim))
@@ -1696,12 +1838,17 @@ class ShardedSolver:
 
         def many(x, b, mreps):
             if leg:
-                from ..kernels import local2d
+                from ..kernels import local2d, plocal2d
 
                 hh = local2d.HALO_ROWS
+                packed0 = _pack_level_ok(cfg, decomp, 0)
                 _, _, owned = _local_offsets(x, decomp, hh)
                 be = _ext_aligned(b, decomp, hh, r_mult=16)
                 xe = _ext_aligned(x, decomp, hh, r_mult=16)
+                if packed0:
+                    cpar, c_ext = _cpar(decomp), be.shape[1]
+                    be = plocal2d.pack_ext(be, cpar)
+                    xe = plocal2d.pack_ext(xe, cpar)
                 xe = _leg_cycle_ext(hier, cfg, decomp, xe, be, 0, gamma,
                                     0.0, fresh=True)
 
@@ -1710,6 +1857,8 @@ class ShardedSolver:
                                           gamma, 0.0, fresh=False)
 
                 xe = jax.lax.fori_loop(0, mreps - 1, body, xe)
+                if packed0:
+                    xe = plocal2d.unpack_ext(xe, c_ext, cpar)
                 return xe[owned]
 
             def body(i, xx):

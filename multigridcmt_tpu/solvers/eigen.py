@@ -212,8 +212,15 @@ def coarse_init(hier: Hierarchy, k: int, dtype) -> jax.Array:
 def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
                method: str = "ii", tol: float = 1e-8, max_iters: int = 100,
                inner_cycles: int = 30, inner_tol: float | None = None,
-               rqi_backoff: float = RQI_BACKOFF) -> EigenResult:
+               rqi_backoff: float = RQI_BACKOFF,
+               v0: jax.Array | None = None) -> EigenResult:
     """Find the k smallest eigenpairs of the discrete Laplacian.
+
+    ``v0`` (a (k, *padded) block, e.g. a previous run's ``eigenvectors``)
+    warm-starts the iteration in place of the nested-iteration coarse
+    init — the checkpoint/resume entry point
+    (``utils.checkpoint.resume_solve``); the block is re-orthonormalized,
+    so any spanning set works.
 
     method="ii": block inverse iteration — each outer step MG-solves
     A w_i = v_i, then Rayleigh-Ritz. method="rqi": after an
@@ -236,7 +243,12 @@ def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
     ndim, n, h = hier.ndim, hier.fine.n, hier.fine.h
     dtype = config.dtype
 
-    v = coarse_init(hier, k, dtype)            # (k, *padded)
+    if v0 is None:
+        v = coarse_init(hier, k, dtype)        # (k, *padded)
+    else:
+        # Sanitize ghosts (the ops rely on the zero-ghost invariant).
+        v = jax.vmap(lambda u: pad_interior(interior(u)))(
+            jnp.asarray(v0, dtype))
     v = _unflat(_orthonormalize(_flat(v, ndim)), n, ndim)
 
     apply_v = jax.vmap(lambda u: laplacian.apply_poisson(u, h))
@@ -251,6 +263,7 @@ def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
     bk = cycles.get_backend(config)
     if inner_tol is None:
         inner_tol = 200.0 * float(jnp.finfo(dtype).eps)
+    pd = krylov.mixed_cycle_dtype(config)
 
     def inner_solve(vv, sigma=None):
         """MG-solve (A - sigma I) w = v to inner_tol, per block vector.
@@ -258,26 +271,49 @@ def eigensolve(hier: Hierarchy, config: SolverConfig, k: int = 1,
         sigma=None keeps the shift *statically* zero so the coarsest solve
         stays the fast precomputed-inverse matmul (cycles.coarse_solve).
         Encodes to the backend's native layout once per outer iteration.
-        """
+
+        Mixed precision (config.precond_dtype, VERDICT.md round-4 item
+        5): the cycles run at ``precond_dtype`` as ITERATIVE REFINEMENT
+        — the defect r = v - (A - sigma I) w is computed at full
+        ``dtype`` and the low-precision cycle only produces the
+        correction, so the inner solve still reaches ``inner_tol`` at
+        ``dtype`` grade (running the whole solve at bf16 would floor the
+        eigen-residual at the bf16 stall). The pd=None path is
+        left untouched so default residual histories stay pinned."""
         def one(rhs, sg=0.0):
             rhs = bk.encode(rhs)
             rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
             rhs_norm = jnp.where(rhs_norm == 0, 1.0, rhs_norm)
 
             def cond(st):
-                w, i, rel = st
-                return (rel >= inner_tol) & (i < inner_cycles)
+                # state ends with (..., i, rel) on both paths
+                return (st[-1] >= inner_tol) & (st[-2] < inner_cycles)
+
+            if pd is None:
+                def body(st):
+                    w, i, rel = st
+                    w = cycles.v_cycle(hier, w, rhs, config, sigma=sg)
+                    r = bk.residual(w, rhs, n, h, sigma=sg)
+                    rel = jnp.sqrt(jnp.sum(r * r)) / rhs_norm
+                    return w, i + 1, rel
+
+                w0 = jnp.zeros_like(rhs)
+                w, _, _ = jax.lax.while_loop(
+                    cond, body, (w0, 0, jnp.ones((), dtype=dtype)))
+                return bk.decode(w, n)
 
             def body(st):
-                w, i, rel = st
-                w = cycles.v_cycle(hier, w, rhs, config, sigma=sg)
+                w, r, i, rel = st
+                dw = cycles.v_cycle(hier, jnp.zeros_like(r, dtype=pd),
+                                    r.astype(pd), config, sigma=sg)
+                w = w + dw.astype(dtype)
                 r = bk.residual(w, rhs, n, h, sigma=sg)
                 rel = jnp.sqrt(jnp.sum(r * r)) / rhs_norm
-                return w, i + 1, rel
+                return w, r, i + 1, rel
 
             w0 = jnp.zeros_like(rhs)
-            w, _, _ = jax.lax.while_loop(cond, body, (w0, 0, jnp.ones(
-                (), dtype=dtype)))
+            w, _, _, _ = jax.lax.while_loop(
+                cond, body, (w0, rhs, 0, jnp.ones((), dtype=dtype)))
             return bk.decode(w, n)
         if sigma is None:
             return _stack_map(one, vv)
@@ -338,7 +374,8 @@ def _safe_rownorm(f: jax.Array, salt: jax.Array) -> jax.Array:
                                    "precond_cycles"))
 def lobpcg(hier: Hierarchy, config: SolverConfig, k: int = 1,
            tol: float = 1e-8, max_iters: int = 100,
-           precond_cycles: int = 1) -> EigenResult:
+           precond_cycles: int = 1,
+           v0: jax.Array | None = None) -> EigenResult:
     """MG-preconditioned LOBPCG for the k smallest eigenpairs.
 
     Locally optimal block PCG (Knyazev, SIAM J. Sci. Comput. 23(2), 2001):
@@ -423,9 +460,15 @@ def lobpcg(hier: Hierarchy, config: SolverConfig, k: int = 1,
         c = li.T @ y[:, :nkeep]
         return c, theta[:nkeep]
 
-    # Nested-iteration start; lobpcg_loop does iteration 0's RR on
-    # [X, W] and the main loop on [X, W, P].
-    x = _orthonormalize(_flat(coarse_init(hier, k, dtype), ndim))
+    # Nested-iteration start (or a caller-supplied warm start — see
+    # eigensolve's v0); lobpcg_loop does iteration 0's RR on [X, W] and
+    # the main loop on [X, W, P].
+    if v0 is None:
+        v_init = coarse_init(hier, k, dtype)
+    else:
+        v_init = jax.vmap(lambda u: pad_interior(interior(u)))(
+            jnp.asarray(v0, dtype))
+    x = _orthonormalize(_flat(v_init, ndim))
     x, lam, iters, hist, res = lobpcg_loop(
         x, k=k, rq_res=rq_res, tcycle=tcycle, project_out=project_out,
         safe_rownorm=_safe_rownorm, rr=rr,

@@ -58,6 +58,12 @@ def resume_solve(solver, path: str, b=None, **solve_kwargs):
     import jax.numpy as jnp
 
     x0 = jnp.asarray(state["x"])
+    if "eigenvalues" in state:
+        # Eigensolver snapshot (save the eigenvector block as "x" plus
+        # extra={"eigenvalues": ...}): resume via the v0 warm start —
+        # the block is re-orthonormalized on entry, so a partially
+        # converged block resumes the same subspace iteration.
+        return solver.eigensolve(v0=x0, **solve_kwargs)
     if b is None and "b" in state:
         b = jnp.asarray(state["b"])
     if b is None:

@@ -261,3 +261,125 @@ def test_whole_leg_block_decomp_multiwindow(monkeypatch):
                                rtol=1e-6, atol=1e-11)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=1e-8, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Color-packed whole-leg kernels (kernels/plocal2d.py, VERDICT.md round-4
+# item 1): the packed shard tier must equal the aligned tier at the kernel
+# level and the unsharded solve end-to-end.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kk,mcol,kind,nu,sigma,dev", [
+    (8, 0, "rbgs", 2, 0.0, 0),        # rows, multi-window
+    (8, 0, "rbgs", 3, 0.0, 1),        # rows, 3 fused sweeps, device 1
+    (8, 0, "jacobi", 2, 0.0, 0),
+    (8, 0, "rbgs", 2, 3.7, 0),        # shifted operator
+    (8, 128, "rbgs", 2, 0.0, 0),      # blocks (col-ext), device (0, 0)
+    (8, 128, "rbgs", 2, 0.0, 1),      # blocks, device (1, 0)
+    (8, 256, "jacobi", 2, 0.0, 0),
+])
+def test_packed_leg_kernels_match_aligned(kk, mcol, kind, nu, sigma, dev):
+    """pack -> plocal2d kernel -> unpack == the aligned local2d kernel on
+    identical extended tiles (owned region; ghosts are stale in both).
+    Multi-window (k=8: r=144 > one 88-row window) per the multi-tile
+    testing rule."""
+    from multigridcmt_tpu.grids import aligned_shape
+    from multigridcmt_tpu.kernels import local2d, plocal2d
+
+    rng = np.random.default_rng(11 + kk + mcol + dev)
+    n = 2 ** kk - 1
+    hh = local2d.HALO_ROWS
+    h = 1.0 / (n + 1)
+    m = 2 ** kk // 2
+    r = local2d.ext_rows(m)
+    if mcol:
+        c = -(-(mcol + 2 * hh) // 128) * 128
+        col_off, cpar = 1 - hh, 1
+    else:
+        c = aligned_shape(n)[1]
+        col_off, cpar = 0, 0
+    row_off = dev * m + 1 - hh
+    u = jnp.asarray(rng.standard_normal((r, c)))
+    b = jnp.asarray(rng.standard_normal((r, c)))
+    up = plocal2d.pack_ext(u, cpar)
+    bp = plocal2d.pack_ext(b, cpar)
+    tol = 1e-13 * 4.0 ** kk          # residuals scale with 1/h^2
+
+    ua_s, rc_a = local2d.down_leg(u, b, n, h, m, row_off, col_off,
+                                  kind=kind, omega=0.8, sweeps=nu,
+                                  sigma=sigma, mcol=mcol)
+    up_s, rc_p = plocal2d.down_leg(up, bp, n, h, m, row_off, col_off,
+                                   kind=kind, omega=0.8, sweeps=nu,
+                                   sigma=sigma, mcol=mcol)
+    owned = (slice(hh, hh + m), slice(hh, hh + mcol) if mcol
+             else slice(0, c))
+    us_p = plocal2d.unpack_ext(up_s, c, cpar)
+    np.testing.assert_allclose(np.asarray(us_p[owned]),
+                               np.asarray(ua_s[owned]), atol=tol)
+    np.testing.assert_allclose(np.asarray(rc_p), np.asarray(rc_a),
+                               atol=tol)
+
+    ra = local2d.residual(u, b, n, h, row_off, col_off, sigma=sigma)
+    rp = plocal2d.unpack_ext(
+        plocal2d.residual(up, bp, n, h, row_off, col_off, sigma=sigma),
+        c, cpar)
+    np.testing.assert_allclose(np.asarray(rp[owned]),
+                               np.asarray(ra[owned]), atol=tol)
+
+    nc = (n - 1) // 2
+    e = jnp.asarray(rng.standard_normal(rc_a.shape))
+    ua_u = local2d.up_leg(u, e, b, n, nc, h, m, row_off, col_off,
+                          kind=kind, omega=0.8, sweeps=nu, sigma=sigma,
+                          mcol=mcol)
+    up_u = plocal2d.unpack_ext(
+        plocal2d.up_leg(up, e, bp, n, nc, h, m, row_off, col_off,
+                        kind=kind, omega=0.8, sweeps=nu, sigma=sigma,
+                        mcol=mcol), c, cpar)
+    np.testing.assert_allclose(np.asarray(up_u[owned]),
+                               np.asarray(ua_u[owned]), atol=tol)
+
+
+@needs_8
+@pytest.mark.parametrize("mesh_kind,smoother,method", [
+    ("rows", "rbgs", "mg"), ("rows", "rbgs", "pcg"),
+    ("block", "rbgs", "mg"), ("block", "jacobi", "pcg"),
+])
+def test_packed_sharded_solve_matches_unsharded(mesh_kind, smoother,
+                                                method, monkeypatch):
+    """End-to-end solves on the COLOR-PACKED whole-leg tier (tiles
+    carried packed across cycles / the whole Krylov recurrence) ==
+    unsharded, at fp64."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    monkeypatch.setattr(kernels, "PACK_MIN_N", 30)
+    base = dict(k=8, dtype=jnp.float64, smoother=smoother, tol=1e-9,
+                agglom_rows=4)
+    cfg = SolverConfig(ndim=2, **base, use_pallas=True)
+    mesh = (sharded.make_mesh(jax.devices()[:4]) if mesh_kind == "rows"
+            else sharded.make_block_mesh((2, 2)))
+    s = sharded.ShardedSolver(cfg, mesh)
+    assert sharded._pack_level_ok(cfg, s.decomp, 0)   # engaged
+    prob = mg.poisson2d(**base)
+    ref = mg.MultigridSolver(prob).solve(method=method)
+    got = s.solve(prob.b, method=method)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-11)
+
+
+@needs_8
+def test_packed_sharded_eigensolve(monkeypatch):
+    """The distributed eigensolver's ext-carried inner loops run packed
+    when the fine level packs; lambda_1 matches the single-device
+    solver."""
+    monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
+    monkeypatch.setattr(kernels, "PACK_MIN_N", 30)
+    base = dict(k=6, dtype=jnp.float64, smoother="rbgs", agglom_rows=8)
+    cfg = SolverConfig(ndim=2, **base, use_pallas=True)
+    s = sharded.ShardedSolver(cfg, _mesh())
+    assert sharded._pack_level_ok(cfg, s.decomp, 0)
+    got = s.eigensolve(k=1, tol=1e-8, max_iters=40)
+    prob = mg.poisson2d(**base)
+    ref = mg.MultigridSolver(prob).eigensolve(k=1, tol=1e-8, max_iters=40)
+    assert bool(got.converged)
+    lam_g, lam_r = float(got.eigenvalues[0]), float(ref.eigenvalues[0])
+    assert abs(lam_g - lam_r) / lam_r < 1e-8

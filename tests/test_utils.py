@@ -143,3 +143,66 @@ def test_debug_mode_restores_flag():
     with debug.debug_mode():
         assert jax.config.jax_debug_nans is True
     assert jax.config.jax_debug_nans == before
+
+
+def test_eigensolve_resume_beats_cold(tmp_path):
+    """Eigensolver warm-start + checkpoint resume (VERDICT.md round-4
+    item 7): resuming from a partially converged eigenvector block on
+    the 8-device mesh takes fewer outer iterations than a cold start,
+    and reaches the same eigenvalue; resume_solve dispatches on the
+    eigen snapshot."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from multigridcmt_tpu.config import SolverConfig
+    from multigridcmt_tpu.parallel import sharded
+
+    base = dict(ndim=2, k=6, dtype=jnp.float64, smoother="rbgs",
+                agglom_rows=8)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    solver = sharded.ShardedSolver(SolverConfig(**base), mesh)
+    cold = solver.eigensolve(k=2, tol=1e-9, max_iters=40)
+    # "Interrupt" after a loose-tolerance run and snapshot the block.
+    part = solver.eigensolve(k=2, tol=1e-4, max_iters=40)
+    path = str(tmp_path / "eig")
+    checkpoint.save_state(path, part.eigenvectors, part.res_history,
+                          part.iters,
+                          extra={"eigenvalues": part.eigenvalues})
+    resumed = checkpoint.resume_solve(solver, path, k=2, tol=1e-9,
+                                      max_iters=40)
+    assert bool(resumed.converged)
+    assert int(resumed.iters) < int(cold.iters)
+    np.testing.assert_allclose(np.asarray(resumed.eigenvalues),
+                               np.asarray(cold.eigenvalues),
+                               rtol=1e-8)
+    # Single-device warm start path too (lobpcg + ii).
+    prob = mg.poisson2d(k=5, dtype=jnp.float64, smoother="rbgs")
+    ms = mg.MultigridSolver(prob)
+    cold1 = ms.eigensolve(k=2, tol=1e-9, max_iters=40)
+    warm1 = ms.eigensolve(k=2, tol=1e-9, max_iters=40,
+                          v0=cold1.eigenvectors)
+    assert int(warm1.iters) <= 2
+    coldl = ms.eigensolve(k=2, method="lobpcg", tol=1e-8, max_iters=40)
+    warml = ms.eigensolve(k=2, method="lobpcg", tol=1e-8, max_iters=40,
+                          v0=coldl.eigenvectors)
+    assert int(warml.iters) <= int(coldl.iters)
+
+
+def test_sharded_resume_without_b_raises(tmp_path):
+    """ShardedSolver resume with no RHS raises the contract error, not
+    an opaque TypeError (ADVICE.md round-4)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from multigridcmt_tpu.config import SolverConfig
+    from multigridcmt_tpu.parallel import sharded
+
+    solver = sharded.ShardedSolver(
+        SolverConfig(ndim=2, k=6, dtype=jnp.float64, agglom_rows=8),
+        sharded.make_mesh(jax.devices()[:8]))
+    path = str(tmp_path / "snap")
+    checkpoint.save_state(path, np.zeros((33, 33)), np.zeros(3), 1)
+    with pytest.raises(ValueError, match="needs the RHS"):
+        checkpoint.resume_solve(solver, path)
