@@ -19,6 +19,111 @@ import sys
 from bench import HBM_GBPS, _marginal, log
 
 
+def bare_copy_probe():
+    """Platform probe (VERDICT.md round-4 weak item 6): a minimal
+    double-buffered Mosaic HBM->VMEM->HBM copy pipeline on a ~700 MB
+    array vs XLA's copy of the same array. Round-4 measured the Mosaic
+    pipeline at 321-326 GB/s while XLA streamed 627-757 GB/s — the
+    chip/tunnel-specific DMA cap that bounds the GB-footprint 3D
+    kernels. Re-run after any platform update to re-open (or re-close)
+    the 3D kernel headroom question."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, cols = 21504, 8192          # ~704 MB f32
+    t = 512
+    nt = rows // t
+
+    def kernel(src, dst, buf, in_sems, out_sems):
+        cp0 = pltpu.make_async_copy(src.at[pl.ds(0, t), :], buf.at[0],
+                                    in_sems.at[0])
+        cp0.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                pltpu.make_async_copy(
+                    src.at[pl.ds((i + 1) * t, t), :], buf.at[nxt],
+                    in_sems.at[nxt]).start()
+
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * t, t), :], buf.at[slot],
+                in_sems.at[slot]).wait()
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    buf.at[slot], dst.at[pl.ds(0, t), :],
+                    out_sems.at[slot]).wait()
+
+            pltpu.make_async_copy(
+                buf.at[slot], dst.at[pl.ds(i * t, t), :],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                pltpu.make_async_copy(
+                    buf.at[(nt - 1 - j) % 2, :, :],
+                    dst.at[pl.ds(0, t), :],
+                    out_sems.at[(nt - 1 - j) % 2]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+
+    def copy(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.VMEM((2, t, cols), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.SemaphoreType.DMA((2,))],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(x)
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((rows, cols)).astype(np.float32))
+    nbytes = 2 * rows * cols * 4      # read + write
+
+    @jax.jit
+    def mosaic_m(x, m):
+        def body(i, v):
+            return copy(v)
+
+        return jnp.sum(jax.lax.fori_loop(0, m, body, x)[:1, :1])
+
+    @jax.jit
+    def xla_m(x, m):
+        def body(i, v):
+            return v * 1.0000001      # forced elementwise pass (~copy)
+
+        return jnp.sum(jax.lax.fori_loop(0, m, body, x)[:1, :1])
+
+    tm = _marginal(lambda m: float(mosaic_m(x, m)), k1=1, k2=7, reps=5)
+    tx = _marginal(lambda m: float(xla_m(x, m)), k1=1, k2=7, reps=5)
+    log(f"[probe] bare Mosaic 2-stream copy: {nbytes / tm / 1e9:.0f} GB/s; "
+        f"XLA elementwise pass: {nbytes / tx / 1e9:.0f} GB/s "
+        f"({rows * cols * 4 / 1e6:.0f} MB array)")
+    print(json.dumps({
+        "metric": "bare_copy_probe",
+        "mosaic_gbps": round(nbytes / tm / 1e9, 1),
+        "xla_gbps": round(nbytes / tx / 1e9, 1),
+    }), flush=True)
+
+
 def main():
     import os
 
@@ -26,6 +131,10 @@ def main():
     from multigridcmt_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+
+    if "--bare-copy" in sys.argv:
+        bare_copy_probe()
+        return
 
     import jax
     import jax.numpy as jnp

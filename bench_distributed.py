@@ -50,7 +50,11 @@ def main():
             return jnp.sum(vfn(jnp.zeros_like(b), b, m)
                            .astype(jnp.float32))
 
-        t = _marginal(lambda m: float(cyc_m(b_sh, m)), k1=1, k2=5, reps=6)
+        # Wide trip spread (BASELINE.md marginal-timing footgun): at
+        # ~1.5-2 ms/cycle a 4-cycle spread leaves the tunnel's ~2 ms
+        # dispatch-noise tail the same order as the quantity.
+        t = _marginal(lambda m: float(cyc_m(b_sh, m)), k1=2, k2=12,
+                      reps=6)
         out[name] = t * 1e3
         log(f"[dist] sharded V(2,2) cycle k={K}, {len(jax.devices())} "
             f"device(s), {name}: {t * 1e3:.3f} ms")

@@ -57,16 +57,23 @@ def main():
         jax.distributed.initialize()
 
     dtype = jnp.float64 if args.f64 else jnp.float32
-    cfg = SolverConfig(ndim=args.ndim, k=args.k, dtype=dtype,
-                       smoother="rbgs", cycle=args.cycle, tol=args.tol,
-                       use_pallas=args.pallas)
     if args.mesh and "x" in args.mesh:
         r, c = (int(v) for v in args.mesh.split("x"))
         mesh = sharded.make_block_mesh((r, c))
+        max_dev = max(r, c)
     elif args.mesh:
         mesh = sharded.make_mesh(jax.devices()[:int(args.mesh)])
+        max_dev = int(args.mesh)
     else:
         mesh = sharded.make_mesh()
+        max_dev = len(jax.devices())
+    # Keep the fine level sharded on small demo grids: the production
+    # agglomeration cutoff (64 rows/device, measured — config.py) can
+    # exceed a toy problem's whole per-device extent.
+    agglom = max(2, min(64, 2 ** args.k // (2 * max_dev)))
+    cfg = SolverConfig(ndim=args.ndim, k=args.k, dtype=dtype,
+                       smoother="rbgs", cycle=args.cycle, tol=args.tol,
+                       use_pallas=args.pallas, agglom_rows=agglom)
     solver = sharded.ShardedSolver(cfg, mesh)
 
     if args.eigen:

@@ -45,7 +45,14 @@ class SolverConfig:
         solver runs under ``parallel.shard_cycle``.
       agglom_rows: once a level's *local* row count would drop below this,
         the level is agglomerated (replicated on all devices) rather than
-        kept sharded — SURVEY.md §3.5 / BASELINE.json config 5.
+        kept sharded — SURVEY.md §3.5 / BASELINE.json config 5. The
+        default 64 is measured (round 5, mesh-of-1 k=12): small sharded
+        levels run the latency-bound masked-stencil path (fixed cost per
+        op regardless of size), and replicating everything under 64
+        rows/device cut the distributed cycle 2.0 -> 1.50 ms; levels
+        that small are latency-dominated on a real mesh too, while the
+        crossing's all_gather is a one-off of < 64*D rows. Lower it
+        (tests use 4-8) to keep more levels sharded on tiny grids.
       precond_dtype: if set (e.g. ``jnp.bfloat16``), outer-corrected
         solves (MG-PCG via ``solvers.krylov``, MG-LOBPCG via
         ``solvers.eigen``, and the II/RQI ``eigensolve`` inner MG solves
@@ -90,7 +97,7 @@ class SolverConfig:
     max_iters: int = 100
     use_pallas: bool = False
     mesh_axis: str = "row"
-    agglom_rows: int = 8
+    agglom_rows: int = 64
     precond_dtype: Optional[Any] = None
     fmg_prolong: str = "linear"
 

@@ -729,3 +729,138 @@ def up_leg(x: jax.Array, e_ext: jax.Array, bs: jax.Array, n: int,
                         odt.name, mcol)
     return call(_scal(sigma, _cdt(x.dtype)), _offs(row_off, col_off),
                 x, e_ext, bs)
+
+
+# ---------------------------------------------------------------------------
+# Fused residual NORM over the OWNED region: ||b - A u||^2 straight from
+# the packed extended tiles — no residual array materialized (2 HBM read
+# passes, zero writes; the packed2d residual_norm_sq pattern with the
+# shard ownership masks). red_only=True is exact right after an RB-GS
+# cycle (the closing black half-sweep zeroes the black residual).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _resnorm_call(n: int, r: int, cp: int, m: int, mcol: int, h: float,
+                  red_only: bool, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
+    inv_h2 = 1.0 / (h * h)
+    h_lo, _, _ = _halos(dtype)
+    hh = HALO_ROWS
+    if r <= _T_DN + 2 * h_lo:
+        t, lt, nt = r, r, 1
+    else:
+        t, lt, nt = _T_DN, _T_DN + 2 * h_lo, -(-r // _T_DN)
+
+    def kernel(sigma_ref, off_ref, u_hbm, b_hbm, out_ref, ubuf, bbuf,
+               acc_ref, in_sems):
+        sigma = sigma_ref[0, 0]
+        grow0 = off_ref[0, 0]
+        gcol0 = off_ref[0, 1]
+        acc_ref[0, 0] = jnp.zeros((), cdt)
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            ps = jnp.clip(oo - h_lo, 0, r - lt)
+            return oo, pl.multiple_of(ps, h_lo)
+
+        def in_copies(i, slot):
+            _, ps = offsets(i)
+            return (
+                pltpu.make_async_copy(u_hbm.at[:, pl.ds(ps, lt), :],
+                                      ubuf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(b_hbm.at[:, pl.ds(ps, lt), :],
+                                      bbuf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        for cpy in in_copies(0, 0):
+            cpy.start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                for cpy in in_copies(i + 1, nxt):
+                    cpy.start()
+
+            for cpy in in_copies(i, slot):
+                cpy.wait()
+            oo, ps = offsets(i)
+            _, seven, mask_r, mask_b = _masks_ext(n, grow0, gcol0, ps,
+                                                  (lt, cp))
+            # Ownership: count each ext row once (tile rows [oo, oo+t)
+            # despite halo overlap) and only the OWNED region (rows
+            # [hh, hh+m); for sharded columns, owned packed lanes
+            # [hh/2, hh/2 + mcol/2)).
+            p = ps + jax.lax.broadcasted_iota(jnp.int32, (lt, cp), 0)
+            own = ((p >= oo) & (p < oo + t)
+                   & (p >= hh) & (p < hh + m))
+            if mcol:
+                jj = jax.lax.broadcasted_iota(jnp.int32, (lt, cp), 1)
+                own = own & (jj >= hh // 2) & (jj < hh // 2 + mcol // 2)
+            red = ubuf[slot, 0].astype(cdt)
+            blk = ubuf[slot, 1].astype(cdt)
+            b_r = bbuf[slot, 0].astype(cdt)
+            b_b = bbuf[slot, 1].astype(cdt)
+            res_r = b_r - (4.0 * red
+                           - _red_neighbor_sum(blk, seven)) * inv_h2 \
+                + sigma * red
+            res_r = jnp.where(mask_r & own, res_r, jnp.zeros_like(res_r))
+            part = jnp.sum(res_r * res_r)
+            if not red_only:
+                res_b = b_b - (4.0 * blk
+                               - _black_neighbor_sum(red, seven)) \
+                    * inv_h2 + sigma * blk
+                res_b = jnp.where(mask_b & own, res_b,
+                                  jnp.zeros_like(res_b))
+                part = part + jnp.sum(res_b * res_b)
+            acc_ref[0, 0] = acc_ref[0, 0] + part
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+        out_ref[0, 0] = acc_ref[0, 0]
+
+    scratch = [
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.SMEM((1, 1), cdt),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+
+    def call(sigma_arr, off_arr, u, b):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 1), cdt),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=(5 if red_only else 10) * r * cp, transcendentals=0,
+                bytes_accessed=2 * 2 * r * cp
+                * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, off_arr, u, b)
+        return out[0, 0]
+
+    return call
+
+
+def residual_norm_sq(s: jax.Array, bs: jax.Array, n: int, h: float,
+                     m: int, row_off, col_off=0, *, mcol: int = 0,
+                     red_only: bool = False, sigma=0.0) -> jax.Array:
+    """Shard-local ||b - (A - sigma I) u||^2 over the OWNED region of a
+    packed extended tile (psum over the mesh is the caller's job).
+    Requires EXACT ghosts to depth 1 (a refreshed tile). red_only=True
+    is exact when u just finished an RB-GS cycle."""
+    _, r, cp = s.shape
+    call = _resnorm_call(n, r, cp, m, mcol, float(h), bool(red_only),
+                         jnp.dtype(s.dtype).name)
+    return call(_scal(sigma, _cdt(s.dtype)), _offs(row_off, col_off),
+                s, bs)

@@ -1179,26 +1179,31 @@ class ShardedSolver:
                     cpar, c_ext = _cpar(decomp), be.shape[1]
                     be = plocal2d.pack_ext(be, cpar)
                     x = plocal2d.pack_ext(x, cpar)
-                    owned_p = _packed_owned(decomp, ms)
 
-                def res_rel(xe_fresh):
+                def res_rel(xe_fresh, red_only=False):
                     if packed0:
-                        r = plocal2d.residual(xe_fresh, be, n, h,
-                                              row_off, col_off)
-                        ro = r[owned_p]
+                        # Fused norm kernel: no residual materialized
+                        # (2 read passes, 0 writes); red_only is exact
+                        # right after an RB-GS cycle (the closing black
+                        # half-sweep zeroes the black residual).
+                        nrm2 = plocal2d.residual_norm_sq(
+                            xe_fresh, be, n, h, ms[0], row_off, col_off,
+                            mcol=(ms[1] if len(ms) == 2 else 0),
+                            red_only=red_only)
                     else:
                         r = local2d.residual(xe_fresh, be, n, h, row_off,
                                              col_off)
                         ro = r[owned]
+                        nrm2 = jnp.sum(ro * ro)
                     return jnp.sqrt(jax.lax.psum(
-                        jnp.sum(ro * ro), decomp.mesh_axes)) / b_norm
+                        nrm2, decomp.mesh_axes)) / b_norm
 
                 def one_cycle(xe):
                     xe = _leg_cycle_ext(hier, cfg, decomp, xe, be, 0,
                                         gamma, 0.0, fresh=True)
                     return _refresh_ext(xe, decomp, hh, ms)
             else:
-                def res_rel(xx):
+                def res_rel(xx, red_only=False):
                     return jnp.sqrt(_psum_sq(
                         s_residual(xx, b, n, h, decomp,
                                    use_pallas=cfg.use_pallas),
@@ -1210,6 +1215,9 @@ class ShardedSolver:
 
             r0 = res_rel(x)
             hist0 = jnp.full((cfg.max_iters + 1,), r0, dtype=b.dtype)
+            # Post-cycle checks may skip the black residual plane: an
+            # RB-GS cycle's closing black half-sweep zeroes it exactly.
+            ro_loop = cfg.smoother == "rbgs" and cfg.nu2 >= 1
 
             # Stall + divergence guards, as in cycles.solve.
             def cond(st):
@@ -1220,7 +1228,7 @@ class ShardedSolver:
             def body(st):
                 x, k_it, hist, rel, stall, div = st
                 x = one_cycle(x)
-                new_rel = res_rel(x)
+                new_rel = res_rel(x, red_only=ro_loop)
                 stall, div = cycles.step_guards(new_rel, rel, stall, div)
                 hist = hist.at[k_it + 1].set(new_rel)
                 return x, k_it + 1, hist, new_rel, stall, div

@@ -116,7 +116,7 @@ def test_mesh_size_degrades(ndev):
 @needs_8
 def test_solution_accuracy_sharded():
     cfg = SolverConfig(ndim=2, k=6, dtype=jnp.float64, smoother="rbgs",
-                      tol=1e-10)
+                      tol=1e-10, agglom_rows=4)
     prob = mg.poisson2d(k=6, dtype=jnp.float64)
     got = sharded.ShardedSolver(cfg, _mesh()).solve(prob.b)
     err = np.abs(np.asarray(interior(got.x))
