@@ -17,6 +17,7 @@ import sys
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--k", type=int, default=8, help="grid exponent (8=255^3)")
+    p.add_argument("--agglom", type=int, default=64)
     args = p.parse_args()
 
     import os
@@ -36,7 +37,7 @@ def main():
 
     K = args.k
     cfg = SolverConfig(ndim=3, k=K, dtype=jnp.float32, smoother="rbgs",
-                      use_pallas=True)
+                       use_pallas=True, agglom_rows=args.agglom)
     mesh = sharded.make_mesh()
     solver = sharded.ShardedSolver(cfg, mesh)
     decomp = solver.decomp
@@ -79,13 +80,16 @@ def main():
         "residual (slab kernel)",
         lambda x, b: sharded.s_residual(x, b, n, h, decomp,
                                         use_pallas=True))
+    # The op input must depend on the carry (x = 0 + s) or XLA hoists
+    # the whole op out of the timing loop (first version of this script
+    # read 30 us for a 537 MB restrict).
     comps["restrict"] = chain(
         "restrict (jnp separable)",
-        lambda x, b: sharded.s_restrict(b, n, decomp))
+        lambda x, b: sharded.s_restrict(b + x, n, decomp))
     comps["prolong"] = chain(
         "prolong (jnp separable)",
         lambda x, b: sharded.s_prolong(
-            b[: b.shape[0] // 2, : nc + 2, : nc + 2], nc, decomp))
+            (b + x)[: b.shape[0] // 2, : nc + 2, : nc + 2], nc, decomp))
 
     # Full cycle marginal (the production chained path).
     vfn = solver.v_cycles_fn()

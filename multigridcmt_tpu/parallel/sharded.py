@@ -612,6 +612,43 @@ def _s_smooth_slab3d(u, b, n, h, *, kind, omega, sweeps, decomp: Decomp,
     return out[hz:hz + m, :n + 2, :n + 2]
 
 
+def _s_smooth_residual_slab3d(u, b, n, h, *, kind, omega, sweeps,
+                              decomp: Decomp, sigma=0.0):
+    """3D down-leg pair (smooth^nu, residual) from ONE halo exchange and
+    ONE extended-stack build (the 2D _s_smooth_residual_pallas pattern
+    on slabs): exchange one extra ghost plane beyond the smoothing
+    budget, run the smoother, then the residual kernel directly on the
+    smoothed extended stack — its 1-plane ghost reads sit inside the
+    remaining staleness budget. Returns (u_smoothed, r), owned tiles."""
+    from ..grids import aligned3_shape
+    from ..kernels import stencil3d
+
+    (a, ma, nd), = decomp.axes
+    m = u.shape[0]
+    hz = _slab3d_hz(kind, sweeps) + 1
+    goff = jax.lax.axis_index(ma) * m + 1 - hz
+
+    def ext(v):
+        near = jax.lax.ppermute(v[-hz:], ma, _perm_down(nd))
+        far = jax.lax.ppermute(v[:hz], ma, _perm_up(nd))
+        v = jnp.concatenate([near, v, far], axis=0)
+        _, r, c = aligned3_shape(n)
+        pe = -(-v.shape[0] // 4) * 4
+        return jnp.pad(v, ((0, pe - v.shape[0]), (0, r - v.shape[1]),
+                           (0, c - v.shape[2])))
+
+    ue, be = ext(u), ext(b)
+    if kind == "rbgs":
+        us = stencil3d.rbgs_sweep(ue, be, n, h, sigma=sigma,
+                                  sweeps=sweeps, goff=goff)
+    else:
+        us = stencil3d.jacobi_sweep(ue, be, n, h, omega, sigma=sigma,
+                                    sweeps=sweeps, goff=goff)
+    r = stencil3d.residual(us, be, n, h, sigma=sigma, goff=goff)
+    return (us[hz:hz + m, :n + 2, :n + 2],
+            r[hz:hz + m, :n + 2, :n + 2])
+
+
 def _s_residual_slab3d(u, b, n, h, decomp: Decomp, sigma=0.0):
     """Slab-local 3D residual (1-plane halo)."""
     from ..grids import aligned3_shape
@@ -827,7 +864,11 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
     from ..kernels import local2d, plocal2d
 
     hh = local2d.HALO_ROWS
-    packed = _pack_level_ok(cfg, decomp, level)
+    # Layout is the CALLER's choice, carried by the tiles themselves
+    # (packed tiles are rank 3): solve loops that amortize the pack over
+    # many cycles pack; per-application entries stay aligned (one XLA
+    # strided pack/unpack costs more than a packed cycle saves).
+    packed = xe.ndim == 3
     spec = hier.levels[level]
     n, h = spec.n, spec.h
     omega = cfg.effective_omega()
@@ -916,25 +957,21 @@ def mixed_leg_dtype(cfg: SolverConfig, decomp: Decomp):
 def _sharded_v_cycle_leg(hier: Hierarchy, cfg: SolverConfig,
                          decomp: Decomp, x, b, level: int, gamma: int,
                          sigma, out_dtype=None):
-    """Owned-tile entry to the ext-form whole-leg cycle (used by the
-    mixed-precision LOBPCG preconditioner and small paths; the MG solve
-    loop, PCG, and the eigensolver inner loops carry extended tiles
-    across cycles themselves — see _build_solve)."""
-    from ..kernels import local2d, plocal2d
+    """Owned-tile PER-APPLICATION entry to the ext-form whole-leg cycle
+    (the LOBPCG preconditioner, FMG-internal polish cycles, v_cycle_fn).
+    Always runs the ALIGNED layout: one XLA strided pack/unpack costs
+    more than a packed cycle saves, so packing only pays where a solve
+    loop amortizes it over many cycles (_build_solve, _build_pcg, the
+    eigensolver inner loops — which pack their carried tiles
+    themselves)."""
+    from ..kernels import local2d
 
     hh = local2d.HALO_ROWS
     _, _, owned = _local_offsets(x, decomp, hh)
     xe = _ext_aligned(x, decomp, hh, r_mult=16)
     be = _ext_aligned(b, decomp, hh, r_mult=16)
-    packed = _pack_level_ok(cfg, decomp, level)
-    if packed:
-        cpar, c_ext = _cpar(decomp), xe.shape[1]
-        xe = plocal2d.pack_ext(xe, cpar)
-        be = plocal2d.pack_ext(be, cpar)
     out = _leg_cycle_ext(hier, cfg, decomp, xe, be, level, gamma, sigma,
                          fresh=True, out_dtype=out_dtype)
-    if packed:
-        out = plocal2d.unpack_ext(out, c_ext, cpar)
     return out[owned]
 
 
@@ -970,6 +1007,13 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
     if (cfg.use_pallas and _local_pallas_ok(x, n, cfg.smoother, decomp)
             and cfg.smoother in ("rbgs", "jacobi") and _stale < _hr):
         x, r = _s_smooth_residual_pallas(
+            x, b, n, h, kind=cfg.smoother, omega=omega, sweeps=cfg.nu1,
+            decomp=decomp, sigma=sigma)
+    elif (cfg.use_pallas and x.ndim == 3
+          and cfg.smoother in ("rbgs", "jacobi")
+          and _slab3d_ok(x, n, cfg.smoother, decomp,
+                         _slab3d_hz(cfg.smoother, cfg.nu1) + 1)):
+        x, r = _s_smooth_residual_slab3d(
             x, b, n, h, kind=cfg.smoother, omega=omega, sweeps=cfg.nu1,
             decomp=decomp, sigma=sigma)
     else:
