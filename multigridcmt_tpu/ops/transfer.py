@@ -37,11 +37,73 @@ def _restrict_axis0_1d(f: jax.Array) -> jax.Array:
     return jnp.pad(rc, 1)
 
 
+# Minor-axis (sublane/lane) transfer passes on LARGE 3D grids run as
+# banded-matrix MXU matmuls instead of stride-2 slice arithmetic: a
+# stride-2 op on a minor axis forces XLA into a full-array relayout
+# (transpose-grade, several HBM passes of a 0.5 GB grid), while the MXU
+# "wastes" ~n flops per useful element at a fraction of the time
+# (measured round 5: the jnp 3D restrict/prolong cost 13-17 ms each at
+# 511^3 — 43% of the whole sharded cycle). Gated to ndim == 3 so the
+# pinned 2D numerics (tests/reference_impl.py step-for-step) are
+# untouched; axis 0 (major) stays on the cheap sliced path everywhere,
+# which also keeps sharded-axis and unsharded-axis arithmetic identical
+# (the sharded == unsharded exactness tests).
+_MM_MIN_N = 64
+
+
+def _restrict_matrix(n: int, dtype):
+    """(nc+2, n+2) full-weighting matrix over PADDED axes: coarse j reads
+    fine 2j-1..2j+1 with weights [1,2,1]/4; ghost rows are zero."""
+    nc = (n - 1) // 2
+    j = jax.lax.broadcasted_iota(jnp.int32, (nc + 2, n + 2), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (nc + 2, n + 2), 1)
+    interior = (j >= 1) & (j <= nc)
+    w = (jnp.where(i == 2 * j, 0.5, 0.0)
+         + jnp.where((i == 2 * j - 1) | (i == 2 * j + 1), 0.25, 0.0))
+    return jnp.where(interior, w, 0.0).astype(dtype)
+
+
+def _prolong_matrix(nc: int, dtype):
+    """(n+2, nc+2) linear-interpolation matrix over PADDED axes: fine 2j
+    reads coarse j; odd fine rows average their neighbors (padded ghost
+    zeros supply the boundary halves); ghost rows are zero."""
+    n = 2 * nc + 1
+    i = jax.lax.broadcasted_iota(jnp.int32, (n + 2, nc + 2), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n + 2, nc + 2), 1)
+    interior = (i >= 1) & (i <= n)
+    w = (jnp.where(i == 2 * j, 1.0, 0.0)
+         + jnp.where((i == 2 * j - 1) | (i == 2 * j + 1), 0.5, 0.0))
+    return jnp.where(interior, w, 0.0).astype(dtype)
+
+
+def _use_mm(f: jax.Array, axis: int) -> bool:
+    return f.ndim == 3 and axis != 0 and f.shape[axis] - 2 >= _MM_MIN_N
+
+
+def _axis_mm(f: jax.Array, axis: int, mat: jax.Array) -> jax.Array:
+    """Contract ``mat`` (out, in) against one minor axis of (p, r, c).
+
+    axis 1: (q,r) x per-plane (r,c) — a batch matmul with the contraction
+    on the adjacent dim, no transpose; axis 2: (pr, c) x (c, d).
+    HIGHEST precision: the TPU default lowers f32 matmuls to bf16
+    passes, and transfer weights feeding the coarse-grid correction need
+    full f32 accuracy (the mixed-precision design keeps even bf16 cycles'
+    coarse arrays at f32 — kernels/packed2d._cdt)."""
+    if axis == 1:
+        return jnp.einsum("qr,prc->pqc", mat, f,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("prc,dc->prd", f, mat,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _restrict_axis(f: jax.Array, axis: int) -> jax.Array:
     """Full-weighting [1,2,1]/4 + coarsening along ONE axis of a padded
     array; other axes untouched. The d-dimensional full-weighting stencil
     is the tensor product of this 1D stencil (9-point/16 in 2D, 27-point/64
     in 3D), so restriction is d sequential axis passes."""
+    if _use_mm(f, axis):
+        return _axis_mm(f, axis, _restrict_matrix(f.shape[axis] - 2,
+                                                  f.dtype))
     f = jnp.moveaxis(f, axis, 0)
     core = f[1:-1]
     centers = core[1::2]
@@ -51,12 +113,23 @@ def _restrict_axis(f: jax.Array, axis: int) -> jax.Array:
     return jnp.moveaxis(rc, 0, axis)
 
 
+def _axis_order(ndim: int):
+    """Separable-pass order. 3D runs MINOR-FIRST (lane, sublane, plane):
+    the minor-axis MXU passes are near-free, so running them first
+    shrinks the array 4x before the plane-sliced pass (measured round 5:
+    9.2 -> ~3 ms for the 511^3 restrict). 1D/2D keep ascending order —
+    their numerics are pinned step-for-step against the reference
+    oracle. parallel.sharded mirrors this order so sharded == unsharded
+    stays fp-exact."""
+    return range(ndim) if ndim < 3 else reversed(range(ndim))
+
+
 def restrict(r: jax.Array) -> jax.Array:
     """Full-weighting restriction, padded fine grid -> padded coarse grid
     (any ndim: 1D [1,2,1]/4, 2D 9-point/16, 3D 27-point/64)."""
     if r.ndim == 1:
         return _restrict_axis0_1d(r)
-    for ax in range(r.ndim):
+    for ax in _axis_order(r.ndim):
         r = _restrict_axis(r, ax)
     return r
 
@@ -84,6 +157,9 @@ def _prolong_axis0_1d(c: jax.Array) -> jax.Array:
 
 def _prolong_axis(c: jax.Array, axis: int) -> jax.Array:
     """Linear interpolation along ONE axis of a padded array."""
+    if _use_mm(c, axis):
+        return _axis_mm(c, axis, _prolong_matrix(c.shape[axis] - 2,
+                                                 c.dtype))
     c = jnp.moveaxis(c, axis, 0)
     nc = c.shape[0] - 2
     n = 2 * nc + 1
@@ -97,7 +173,7 @@ def prolong(e: jax.Array) -> jax.Array:
     (any ndim; the transpose relation P = 2^d R^T holds per dimension)."""
     if e.ndim == 1:
         return _prolong_axis0_1d(e)
-    for ax in range(e.ndim):
+    for ax in _axis_order(e.ndim):
         e = _prolong_axis(e, ax)
     return e
 

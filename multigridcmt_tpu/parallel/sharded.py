@@ -708,7 +708,7 @@ def s_restrict(r, n, decomp: Decomp):
     i.e. only the far halo. Unsharded axes reuse the single-device pass.
     """
     nc = (n - 1) // 2
-    for a in range(r.ndim):
+    for a in transfer._axis_order(r.ndim):
         info = decomp.info(a)
         if info is None:
             r = transfer._restrict_axis(r, a)
@@ -739,7 +739,7 @@ def s_prolong(e, nc, decomp: Decomp):
     odd f -> average of its two coarse neighbors — i.e. only the near halo.
     """
     n = 2 * nc + 1
-    for a in range(e.ndim):
+    for a in transfer._axis_order(e.ndim):
         info = decomp.info(a)
         if info is None:
             e = transfer._prolong_axis(e, a)

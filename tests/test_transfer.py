@@ -70,3 +70,27 @@ def test_restrict_1d_stencil_values():
     want = np.array([(1 + 2 * 2 + 3) / 4, (3 + 2 * 4 + 5) / 4,
                      (5 + 2 * 6 + 7) / 4])
     np.testing.assert_allclose(rc, want, rtol=1e-15)
+
+
+def test_3d_minor_axis_matmul_passes_match_sliced(monkeypatch):
+    """The large-3D minor-axis MXU transfer passes (round 5: the jnp
+    stride-2 slicing forced full-array relayouts — 43% of the 511^3
+    sharded cycle) compute exactly the sliced passes' values."""
+    from multigridcmt_tpu.ops import transfer
+
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal((17, 33, 65)))
+    e = jnp.asarray(rng.standard_normal((9, 17, 33)))
+
+    monkeypatch.setattr(transfer, "_MM_MIN_N", 10 ** 9)
+    r_sliced = transfer.restrict(f)
+    p_sliced = transfer.prolong(e)
+    monkeypatch.setattr(transfer, "_MM_MIN_N", 4)
+    assert transfer._use_mm(f, 1) and transfer._use_mm(f, 2)
+    r_mm = transfer.restrict(f)
+    p_mm = transfer.prolong(e)
+
+    np.testing.assert_allclose(np.asarray(r_mm), np.asarray(r_sliced),
+                               rtol=1e-13, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(p_mm), np.asarray(p_sliced),
+                               rtol=1e-13, atol=1e-14)
