@@ -67,6 +67,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .packed2d import _cdt
 from .stencil2d import _interpret
 
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -110,7 +111,8 @@ def _valid(g, goff, n, p, dtype):
 
 
 def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
-                       c: int, dtype, extra_ring: bool, pb: int):
+                       c: int, dtype, extra_ring: bool, pb: int,
+                       out_dtype=None):
     """Batched plane-rolling driver.
 
     compute_block(j, up, rp, rwrite, bp, mbuf, sigma, goff) -> list of
@@ -120,8 +122,18 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
     prologue waits, BEFORE the loop's first lookahead DMA reuses ring
     slots (the single-plane version once primed inside the body and
     raced the slot-0 lookahead).
+
+    Mixed precision (the packed2d._cdt rule): the rings/DMA move the
+    STORAGE dtype; the accessors widen every read to the compute dtype
+    and rwrite/obuf narrow on store, so bf16 halves the HBM traffic —
+    which IS the bottleneck here (the GB-footprint kernels sit at the
+    Mosaic DMA cap, BASELINE.md round-4) — while the stencil algebra
+    runs at f32. ``out_dtype`` widens the OUTPUT array (a mixed cycle's
+    top level emits f32 — the final-bf16-store noise rule).
     """
     assert p % pb == 0 and p >= 2 + pb, (p, pb)
+    cdt = _cdt(dtype)
+    odt = jnp.dtype(out_dtype if out_dtype is not None else dtype)
     nbu = p // pb
     US = 4
     BS = 4 if extra_ring else 3
@@ -148,8 +160,8 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
         col = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
         inter = (row >= 1) & (row <= n) & (col >= 1) & (col <= n)
         even = ((row + col) % 2) == 0
-        one = jnp.ones((r, c), dtype)
-        zero = jnp.zeros((r, c), dtype)
+        one = jnp.ones((r, c), cdt)
+        zero = jnp.zeros((r, c), cdt)
         mbuf[pl.ds(0, 1)] = jnp.where(inter & even, one,
                                       zero).reshape(1, r, c)
         mbuf[pl.ds(1, 1)] = jnp.where(inter & (~even), one,
@@ -184,19 +196,23 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
 
         def up(j, off):
             bo, l2 = divmod(off, pb)
-            return ubuf[jnp.int32(j + bo) % US, l2 * r:(l2 + 1) * r]
+            return ubuf[jnp.int32(j + bo) % US,
+                        l2 * r:(l2 + 1) * r].astype(cdt)
 
         def rp(j, off):
             bo, l2 = divmod(off, pb)
-            return rbuf[jnp.int32(j + bo) % RS, l2 * r:(l2 + 1) * r]
+            return rbuf[jnp.int32(j + bo) % RS,
+                        l2 * r:(l2 + 1) * r].astype(cdt)
 
         def rwrite(j, off, vals):
             bo, l2 = divmod(off, pb)
-            rbuf[jnp.int32(j + bo) % RS, l2 * r:(l2 + 1) * r] = vals
+            rbuf[jnp.int32(j + bo) % RS,
+                 l2 * r:(l2 + 1) * r] = vals.astype(dtype)
 
         def bp(j, off):
             bo, l2 = divmod(off, pb)
-            return bbuf[jnp.int32(j + bo) % BS, l2 * r:(l2 + 1) * r]
+            return bbuf[jnp.int32(j + bo) % BS,
+                        l2 * r:(l2 + 1) * r].astype(cdt)
 
         # Prologue loads. One-stage (residual / Jacobi): block j reads u
         # blocks j-1..j+1 and b block j; body j starts u(j+2)/b(j+2),
@@ -259,7 +275,7 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
                     osems.at[oslot]).wait()
 
             for l in range(pb):
-                obuf[oslot, l * r:(l + 1) * r] = vals[l]
+                obuf[oslot, l * r:(l + 1) * r] = vals[l].astype(odt)
             pltpu.make_async_copy(obuf.at[oslot],
                                   out_hbm.at[pl.ds(j * (pb * r), pb * r)],
                                   osems.at[oslot]).start()
@@ -283,8 +299,8 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
         pltpu.VMEM((RS, pb * r, c) if extra_ring
                    else (1, 8, 128), dtype),           # red ring
         pltpu.VMEM((BS, pb * r, c), dtype),            # b block ring
-        pltpu.VMEM((2, pb * r, c), dtype),             # out double buffer
-        pltpu.VMEM((3, r, c), dtype),                  # mask planes
+        pltpu.VMEM((2, pb * r, c), odt),               # out double buffer
+        pltpu.VMEM((3, r, c), cdt),                    # mask planes
         pltpu.SemaphoreType.DMA((US,)),
         pltpu.SemaphoreType.DMA((BS,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -297,7 +313,7 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
         b2 = b.reshape(p * r, c)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((p * r, c), dtype),
+            out_shape=jax.ShapeDtypeStruct((p * r, c), odt),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -323,6 +339,7 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
 def _residual_call(n: int, p: int, r: int, c: int, h: float,
                    dtype_name: str):
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
     inv_h2 = 1.0 / (h * h)
     pb = _pick_pb(r, c, dtype)
 
@@ -334,17 +351,21 @@ def _residual_call(n: int, p: int, r: int, c: int, h: float,
             au = (6.0 * zm - _nsum(up(j, l - 1), zm,
                                    up(j, l + 1))) * inv_h2
             vals = bp(j, l) - au + sigma * zm
-            out.append(_valid(g, goff, n, p, dtype) * (mbuf[2] * vals))
+            out.append(_valid(g, goff, n, p, cdt) * (mbuf[2] * vals))
         return out
 
+    # The residual ALWAYS emits the compute dtype: it feeds the coarse
+    # RHS, and the mixed-precision design keeps every coarse level at
+    # f32 (packed2d._cdt notes) — identity for f32/f64 storage.
     return _make_batch_kernel(compute, None, n, p, r, c, dtype,
-                              extra_ring=False, pb=pb)
+                              extra_ring=False, pb=pb, out_dtype=cdt)
 
 
 @functools.lru_cache(maxsize=None)
 def _jacobi_call(n: int, p: int, r: int, c: int, h: float, omega: float,
-                 dtype_name: str):
+                 dtype_name: str, out_dtype_name: str = None):
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
     inv_h2 = 1.0 / (h * h)
     pb = _pick_pb(r, c, dtype)
 
@@ -357,15 +378,17 @@ def _jacobi_call(n: int, p: int, r: int, c: int, h: float, omega: float,
                                    up(j, l + 1))) * inv_h2
             res = bp(j, l) - au + sigma * zm
             upd = zm + mbuf[2] * ((omega / (6.0 * inv_h2 - sigma)) * res)
-            out.append(_valid(g, goff, n, p, dtype) * upd)
+            out.append(_valid(g, goff, n, p, cdt) * upd)
         return out
 
     return _make_batch_kernel(compute, None, n, p, r, c, dtype,
-                              extra_ring=False, pb=pb)
+                              extra_ring=False, pb=pb,
+                              out_dtype=out_dtype_name)
 
 
 @functools.lru_cache(maxsize=None)
-def _rbgs_call(n: int, p: int, r: int, c: int, h: float, dtype_name: str):
+def _rbgs_call(n: int, p: int, r: int, c: int, h: float, dtype_name: str,
+               out_dtype_name: str = None):
     """One full red+black GS sweep in one HBM pass (two-color pipeline).
 
     The red ring holds *red-updated* planes (red points updated, black
@@ -385,6 +408,7 @@ def _rbgs_call(n: int, p: int, r: int, c: int, h: float, dtype_name: str):
     copied, not updated, when stage 1 reaches it.
     """
     dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
     h2 = h * h
     pb = _pick_pb(r, c, dtype)
 
@@ -400,9 +424,9 @@ def _rbgs_call(n: int, p: int, r: int, c: int, h: float, dtype_name: str):
         # plane p-1: copy u (its BLACK values are all the black stage
         # ever reads from it). Anything else (global ghosts, pads):
         # zero.
-        v = _valid(q, goff, n, p, dtype)
+        v = _valid(q, goff, n, p, cdt)
         last = jnp.where(jnp.int32(q) == p - 1,
-                         jnp.ones((), dtype), jnp.zeros((), dtype))
+                         jnp.ones((), cdt), jnp.zeros((), cdt))
         return v * upd + (1.0 - v) * (last * zm)
 
     def prime(up, rp, rwrite, bp, mbuf, sigma, goff):
@@ -425,15 +449,16 @@ def _rbgs_call(n: int, p: int, r: int, c: int, h: float, dtype_name: str):
             gs = (h2 * bp(j, l)
                   + _nsum(rp(j, l - 1), zm, rp(j, l + 1))) * inv_den
             upd = zm + mbuf[jnp.int32(g + 1 + goff) % 2] * (gs - zm)
-            out.append(_valid(g, goff, n, p, dtype) * upd)
+            out.append(_valid(g, goff, n, p, cdt) * upd)
         return out
 
     return _make_batch_kernel(compute, prime, n, p, r, c, dtype,
-                              extra_ring=True, pb=pb)
+                              extra_ring=True, pb=pb,
+                              out_dtype=out_dtype_name)
 
 
 def _sigma_arr(sigma, dtype):
-    return jnp.asarray(sigma, dtype=dtype).reshape(1, 1)
+    return jnp.asarray(sigma, dtype=_cdt(dtype)).reshape(1, 1)
 
 
 def _goff_arr(goff):
@@ -453,30 +478,46 @@ def residual(u: jax.Array, b: jax.Array, n: int, h: float,
 
 def jacobi_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
                  omega: float, sigma=0.0, sweeps: int = 1,
-                 goff=0) -> jax.Array:
-    """Weighted-Jacobi sweeps, one HBM pass each (aligned3 / slab)."""
+                 goff=0, out_dtype=None) -> jax.Array:
+    """Weighted-Jacobi sweeps, one HBM pass each (aligned3 / slab).
+    ``out_dtype`` widens the LAST sweep's output store (mixed top
+    level)."""
+    if b.dtype != u.dtype:
+        # Mixed cycles promote u to f32 at the correction add while b
+        # stays bf16; the rings are one dtype — cast b up once.
+        b = b.astype(u.dtype)
     p, r, c = u.shape
-    call = _jacobi_call(n, p, r, c, float(h), float(omega),
-                        jnp.dtype(u.dtype).name)
+    dn = jnp.dtype(u.dtype).name
+    call = _jacobi_call(n, p, r, c, float(h), float(omega), dn)
     s = _sigma_arr(sigma, u.dtype)
     go = _goff_arr(goff)
-    for _ in range(sweeps):
+    for i in range(sweeps):
+        if i == sweeps - 1 and out_dtype is not None:
+            call = _jacobi_call(n, p, r, c, float(h), float(omega), dn,
+                                jnp.dtype(out_dtype).name)
         u = call(s, go, u, b)
     return u
 
 
 def rbgs_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
-               sigma=0.0, sweeps: int = 1, goff=0) -> jax.Array:
+               sigma=0.0, sweeps: int = 1, goff=0,
+               out_dtype=None) -> jax.Array:
     """Full red+black GS sweeps, ONE HBM pass each (aligned3 / slab).
 
     Chained calls on a slab's extended plane stack invalidate 2 ghost
     planes per sweep per side (the edge planes are zeroed, not
     recomputed) — the caller's exchanged halo depth bounds ``sweeps``.
     """
+    if b.dtype != u.dtype:
+        b = b.astype(u.dtype)      # see jacobi_sweep
     p, r, c = u.shape
-    call = _rbgs_call(n, p, r, c, float(h), jnp.dtype(u.dtype).name)
+    dn = jnp.dtype(u.dtype).name
+    call = _rbgs_call(n, p, r, c, float(h), dn)
     s = _sigma_arr(sigma, u.dtype)
     go = _goff_arr(goff)
-    for _ in range(sweeps):
+    for i in range(sweeps):
+        if i == sweeps - 1 and out_dtype is not None:
+            call = _rbgs_call(n, p, r, c, float(h), dn,
+                              jnp.dtype(out_dtype).name)
         u = call(s, go, u, b)
     return u

@@ -649,6 +649,81 @@ def _s_smooth_residual_slab3d(u, b, n, h, *, kind, omega, sweeps,
             r[hz:hz + m, :n + 2, :n + 2])
 
 
+def _slab3d_hz_level(cfg: SolverConfig) -> int:
+    """Ghost planes for one EXT-CARRIED slab level: the down leg needs
+    smoothing staleness + 1 residual plane (2*nu1 + 1 rbgs / nu1 + 1
+    jacobi), the up leg its smoothing staleness."""
+    if cfg.smoother == "rbgs":
+        return max(2 * cfg.nu1 + 1, 2 * cfg.nu2)
+    return max(cfg.nu1 + 1, cfg.nu2)
+
+
+def _slab3d_level(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
+                  x, b, level: int, gamma: int, sigma, cfg_repl,
+                  out_dtype=None):
+    """One cycle level on a slab-sharded 3D grid with the halo-extended
+    aligned3 stacks built ONCE per level visit (round 5: the per-stage
+    concat+pad ext rebuilds cost ~20 ms of the 511^3 cycle): down smooth
+    -> residual on the same stack -> restrict from its owned slice ->
+    coarse correction added in place -> ghost-plane refresh -> up
+    smooth. Owned tiles in/out; identical values to the stagewise path
+    (ghost overlap-recompute staleness budgets, tests pin it)."""
+    from ..grids import aligned3_shape
+    from ..kernels import stencil3d
+
+    spec = hier.levels[level]
+    n, h = spec.n, spec.h
+    omega = cfg.effective_omega()
+    (_, ma, nd), = decomp.axes
+    m = x.shape[0]
+    hz = _slab3d_hz_level(cfg)
+    goff = jax.lax.axis_index(ma) * m + 1 - hz
+    _, ra, ca = aligned3_shape(n)
+    pe = -(-(m + 2 * hz) // 4) * 4
+
+    def ext(v):
+        near = jax.lax.ppermute(v[-hz:], ma, _perm_down(nd))
+        far = jax.lax.ppermute(v[:hz], ma, _perm_up(nd))
+        v = jnp.concatenate([near, v, far], axis=0)
+        return jnp.pad(v, ((0, pe - v.shape[0]), (0, ra - v.shape[1]),
+                           (0, ca - v.shape[2])))
+
+    def smooth_e2(xe, be, sweeps, odt=None):
+        if cfg.smoother == "rbgs":
+            return stencil3d.rbgs_sweep(xe, be, n, h, sigma=sigma,
+                                        sweeps=sweeps, goff=goff,
+                                        out_dtype=odt)
+        return stencil3d.jacobi_sweep(xe, be, n, h, omega, sigma=sigma,
+                                      sweeps=sweeps, goff=goff,
+                                      out_dtype=odt)
+
+    def smooth_e(xe, be, sweeps):
+        return smooth_e2(xe, be, sweeps)
+
+    xe, be = ext(x), ext(b)
+    xe = smooth_e(xe, be, cfg.nu1)
+    # The residual kernel emits the COMPUTE dtype (f32 for bf16 tiles),
+    # so the whole coarse correction runs at full precision — the
+    # packed2d coarse-at-f32 discipline for free.
+    r = stencil3d.residual(xe, be, n, h, sigma=sigma, goff=goff)
+    rc = s_restrict(r[hz:hz + m, :n + 2, :n + 2], n, decomp)
+    corr = _coarse_correction(hier, cfg, decomp, rc, level, gamma,
+                              sigma, cfg_repl)
+    corr = jnp.pad(corr, ((0, 0), (0, ra - corr.shape[1]),
+                          (0, ca - corr.shape[2]))).astype(x.dtype)
+    xe = jax.lax.dynamic_update_slice_in_dim(
+        xe, jax.lax.dynamic_slice_in_dim(xe, hz, m, axis=0) + corr, hz,
+        axis=0)
+    # Ghost-plane refresh (slab ppermutes; stale since the down
+    # smoothing, and the exchanged owned slabs carry the correction).
+    near = jax.lax.ppermute(xe[m:hz + m], ma, _perm_down(nd))
+    far = jax.lax.ppermute(xe[hz:2 * hz], ma, _perm_up(nd))
+    xe = jax.lax.dynamic_update_slice_in_dim(xe, near, 0, axis=0)
+    xe = jax.lax.dynamic_update_slice_in_dim(xe, far, hz + m, axis=0)
+    xe = smooth_e2(xe, be, cfg.nu2, out_dtype)
+    return xe[hz:hz + m, :n + 2, :n + 2]
+
+
 def _s_residual_slab3d(u, b, n, h, decomp: Decomp, sigma=0.0):
     """Slab-local 3D residual (1-plane halo)."""
     from ..grids import aligned3_shape
@@ -954,6 +1029,35 @@ def mixed_leg_dtype(cfg: SolverConfig, decomp: Decomp):
     return pd
 
 
+def mixed_slab_dtype(cfg: SolverConfig, decomp: Decomp):
+    """3D twin of ``mixed_leg_dtype``: precond_dtype is honored on slab
+    decompositions whose fine level runs the stencil3d kernel tier —
+    whose rings widen bf16 to f32 in registers and whose residual emits
+    f32 (the coarse correction then runs at full precision
+    automatically). The 3D kernels sit at the Mosaic DMA cap
+    (BASELINE.md round-4), so halving the bytes is a direct win."""
+    pd = cfg.cycle_dtype()
+    if pd == jnp.dtype(cfg.dtype):
+        return None
+    if (cfg.ndim != 3 or not cfg.use_pallas
+            or cfg.smoother not in ("rbgs", "jacobi")
+            or len(decomp.axes) != 1 or decomp.axes[0][0] != 0):
+        return None
+    from ..grids import aligned3_shape
+    from ..kernels import PALLAS3_MIN_N
+    from ..kernels.stencil3d import fits_vmem
+
+    n = cfg.n
+    m = 2 ** cfg.k // decomp.axes[0][2]
+    if (n < PALLAS3_MIN_N or m < max(_slab3d_hz_level(cfg), 3)
+            or not _is_sharded(cfg, decomp, 0)):
+        return None
+    _, r, c = aligned3_shape(n)
+    if not fits_vmem(r, c, pd):
+        return None
+    return pd
+
+
 def _sharded_v_cycle_leg(hier: Hierarchy, cfg: SolverConfig,
                          decomp: Decomp, x, b, level: int, gamma: int,
                          sigma, out_dtype=None):
@@ -976,7 +1080,8 @@ def _sharded_v_cycle_leg(hier: Hierarchy, cfg: SolverConfig,
 
 
 def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
-                     x, b, level: int, gamma: int = 1, sigma=0.0):
+                     x, b, level: int, gamma: int = 1, sigma=0.0,
+                     out_dtype=None):
     """Recursive cycle; per-level arrays are owned tiles while the level is
     sharded and full replicated grids below the agglomeration cutoff.
     ``sigma`` shifts the operator to A - sigma*I (eigensolver inner
@@ -997,7 +1102,15 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
                               gamma=gamma, sigma=sigma)
     if _leg_level_ok(cfg, decomp, level):
         return _sharded_v_cycle_leg(hier, cfg, decomp, x, b, level,
-                                    gamma, sigma)
+                                    gamma, sigma, out_dtype=out_dtype)
+    # Slab-sharded 3D level with the ext stacks built once (the 3D twin
+    # of the whole-leg ext carry).
+    if (cfg.use_pallas and x.ndim == 3
+            and cfg.smoother in ("rbgs", "jacobi")
+            and _slab3d_ok(x, n, cfg.smoother, decomp,
+                           _slab3d_hz_level(cfg))):
+        return _slab3d_level(hier, cfg, decomp, x, b, level, gamma,
+                             sigma, cfg_repl, out_dtype=out_dtype)
     # Down-leg smooth+residual share one halo exchange and extended-tile
     # build on the kernel path (residual ghost reads stay exact while
     # 2*nu1 < HALO_ROWS for rbgs / nu1 < HALO_ROWS for jacobi).
@@ -1023,6 +1136,18 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
         r = s_residual(x, b, n, h, decomp, sigma,
                        use_pallas=cfg.use_pallas)
     rc = s_restrict(r, n, decomp)
+    x = x + _coarse_correction(hier, cfg, decomp, rc, level, gamma,
+                               sigma, cfg_repl)
+    x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
+                 sweeps=cfg.nu2, decomp=decomp, sigma=sigma,
+                 use_pallas=cfg.use_pallas)
+    return x
+
+
+def _coarse_correction(hier, cfg, decomp, rc, level, gamma, sigma,
+                       cfg_repl):
+    """gamma coarse cycles on the restricted RHS, prolonged back to this
+    level's owned tiles (the shared middle of every stagewise cycle)."""
     nc = hier.levels[level + 1].n
     if not _is_sharded(cfg, decomp, level + 1):
         # Agglomerate: gather the coarse RHS, recurse replicated, scatter.
@@ -1032,18 +1157,12 @@ def _sharded_v_cycle(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
             ec_full = cycles.v_cycle(hier, ec_full, rc_full, cfg_repl,
                                      level=level + 1, gamma=gamma,
                                      sigma=sigma)
-        ef_full = transfer.prolong(ec_full)
-        x = x + _scatter_local(ef_full, decomp)
-    else:
-        ec = jnp.zeros_like(rc)
-        for _ in range(gamma):
-            ec = _sharded_v_cycle(hier, cfg, decomp, ec, rc,
-                                  level + 1, gamma, sigma)
-        x = x + s_prolong(ec, nc, decomp)
-    x = s_smooth(x, b, n, h, kind=cfg.smoother, omega=omega,
-                 sweeps=cfg.nu2, decomp=decomp, sigma=sigma,
-                 use_pallas=cfg.use_pallas)
-    return x
+        return _scatter_local(transfer.prolong(ec_full), decomp)
+    ec = jnp.zeros_like(rc)
+    for _ in range(gamma):
+        ec = _sharded_v_cycle(hier, cfg, decomp, ec, rc,
+                              level + 1, gamma, sigma)
+    return s_prolong(ec, nc, decomp)
 
 
 def _sharded_fmg(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
@@ -1395,11 +1514,28 @@ class ShardedSolver:
                 return -s_residual(p, jnp.zeros_like(p), n, h, decomp,
                                    use_pallas=cfg.use_pallas)
 
-            # pd is None here: mixed_leg_dtype gates on the leg path.
-            def precond(r):
-                return _sharded_v_cycle(hier, cfg, decomp,
-                                        jnp.zeros_like(r), r, 0,
-                                        gamma)
+            pd3 = mixed_slab_dtype(cfg, decomp)
+            if pd3 is not None:
+                # 3D slab mixed precision: bf16 tiles through the
+                # stencil3d tier (f32 registers / f32 coarse RHS), the
+                # top level's up smoothing emitting f32 (the final-
+                # bf16-store noise rule, BASELINE.md round-4).
+                from ..kernels.packed2d import _cdt as _p_cdt
+
+                def precond(r):
+                    rp = r.astype(pd3)
+                    z = _sharded_v_cycle(hier, cfg, decomp,
+                                         jnp.zeros_like(rp), rp, 0,
+                                         gamma,
+                                         out_dtype=_p_cdt(pd3))
+                    return z.astype(r.dtype)
+            else:
+                # mixed_leg_dtype gates the 2D path onto the ext-carried
+                # branch above; everything else runs full dtype.
+                def precond(r):
+                    return _sharded_v_cycle(hier, cfg, decomp,
+                                            jnp.zeros_like(r), r, 0,
+                                            gamma)
 
             x, iters, hist, rel = cg_loop(
                 x0, b, dot=pdot, apply_a=apply_a,

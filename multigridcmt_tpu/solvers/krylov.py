@@ -63,6 +63,20 @@ def mixed_cycle_dtype(config: SolverConfig):
     if (config.ndim == 2 and config.use_pallas
             and config.n >= kernels.PACK_MIN_N):
         return pd
+    if (config.ndim == 3 and config.use_pallas
+            and config.smoother == "rbgs"      # jacobi/cheby route to the
+            and config.n >= kernels.PALLAS3_MIN_N):  # jnp tier: no bf16
+        # stencil3d tier (round 5): rings widen bf16 to f32 in
+        # registers, the residual emits f32 (coarse levels at full
+        # precision), and the up leg promotes to f32 at the correction
+        # add — the 3D kernels sit at the Mosaic DMA cap, so halved
+        # bytes are a direct win.
+        from ..grids import aligned3_shape
+        from ..kernels.stencil3d import fits_vmem
+
+        _, r, c = aligned3_shape(config.n)
+        if fits_vmem(r, c, pd):
+            return pd
     return None
 
 

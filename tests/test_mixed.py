@@ -291,3 +291,56 @@ def test_sharded_eigensolve_bf16_inner_refinement(monkeypatch):
     lam_f, lam_m = float(ef.eigenvalues[0]), float(em.eigenvalues[0])
     assert abs(lam_m - lam_f) / lam_f < 1e-8
     assert int(em.iters) <= int(ef.iters) + 3
+
+
+def test_pcg_bf16_3d_kernel_tier(monkeypatch):
+    """3D mixed precision (round 5): the stencil3d tier stores bf16
+    tiles with f32 registers and an f32-emitting residual (coarse
+    correction at full precision), so a bf16-preconditioned 3D PCG
+    converges to full tolerance."""
+    monkeypatch.setattr(kernels, "PALLAS3_MIN_N", 10)
+    base = dict(ndim=3, k=5, dtype=jnp.float64, smoother="rbgs",
+                use_pallas=True, tol=1e-10, max_iters=60)
+    cfg_full = SolverConfig(**base)
+    cfg_mixed = SolverConfig(**base, precond_dtype=jnp.bfloat16)
+    assert krylov.mixed_cycle_dtype(cfg_mixed) == jnp.bfloat16
+    # jacobi routes 3D to the jnp tier -> the gate must refuse.
+    assert krylov.mixed_cycle_dtype(SolverConfig(
+        **{**base, "smoother": "jacobi"},
+        precond_dtype=jnp.bfloat16)) is None
+    prob = mg.poisson3d(k=5, dtype=jnp.float64)
+    hier = build_hierarchy(cfg_full)
+    full = krylov.solve_pcg(hier, prob.b, cfg_full)
+    mixed = krylov.solve_pcg(hier, prob.b, cfg_mixed)
+    assert bool(full.converged) and bool(mixed.converged)
+    assert int(mixed.iters) <= int(np.ceil(1.2 * int(full.iters))) + 1
+    np.testing.assert_allclose(np.asarray(mixed.x), np.asarray(full.x),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_sharded_pcg_bf16_3d_slab(monkeypatch):
+    """Distributed 3D slab mixed precision through _slab3d_level (bf16
+    stacks, f32-emitting top level)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from multigridcmt_tpu.parallel import sharded
+
+    monkeypatch.setattr(kernels, "PALLAS3_MIN_N", 10)
+    base = dict(ndim=3, k=5, dtype=jnp.float64, smoother="rbgs",
+                use_pallas=True, tol=1e-10, max_iters=60, agglom_rows=4)
+    cfg_full = SolverConfig(**base)
+    cfg_mixed = SolverConfig(**base, precond_dtype=jnp.bfloat16)
+    mesh = sharded.make_mesh(jax.devices()[:4])
+    decomp = sharded.decomp_from_mesh(mesh, 3)
+    assert sharded.mixed_slab_dtype(cfg_mixed, decomp) == jnp.bfloat16
+    prob = mg.poisson3d(k=5, dtype=jnp.float64)
+    full = sharded.ShardedSolver(cfg_full, mesh).solve(prob.b,
+                                                       method="pcg")
+    mixed = sharded.ShardedSolver(cfg_mixed, mesh).solve(prob.b,
+                                                         method="pcg")
+    assert bool(full.converged) and bool(mixed.converged)
+    assert int(mixed.iters) <= int(np.ceil(1.2 * int(full.iters))) + 1
+    np.testing.assert_allclose(np.asarray(mixed.x), np.asarray(full.x),
+                               rtol=1e-7, atol=1e-8)
