@@ -139,10 +139,15 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
     BS = 4 if extra_ring else 3
     RS = 3
 
-    def kernel(sigma_ref, goff_ref, u_hbm, b_hbm, out_hbm, ubuf, rbuf,
+    def kernel(sigma_ref, off_ref, u_hbm, b_hbm, out_hbm, ubuf, rbuf,
                bbuf, obuf, mbuf, usems, bsems, osems):
         sigma = sigma_ref[0, 0]
-        goff = goff_ref[0, 0]
+        goff = off_ref[0, 0]
+        # Global row index of local plane-row 0 (pencil decompositions —
+        # the row axis is sharded too; 0 when rows carry the global
+        # padding). Masks derive from global coordinates, so one SPMD
+        # program serves every pencil tile.
+        roff = off_ref[0, 1]
 
         # Zero the rings once: the few reads that land on never-loaded
         # slots (edge planes' flanks, the tail block's lookahead, the
@@ -156,10 +161,10 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
 
         # Precomputed masks: mbuf[par] = red mask for global planes of
         # parity par (interior & (par + y + x) even); mbuf[2] interior.
-        row = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
+        grow = roff + jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
-        inter = (row >= 1) & (row <= n) & (col >= 1) & (col <= n)
-        even = ((row + col) % 2) == 0
+        inter = (grow >= 1) & (grow <= n) & (col >= 1) & (col <= n)
+        even = ((grow + col) % 2) == 0
         one = jnp.ones((r, c), cdt)
         zero = jnp.zeros((r, c), cdt)
         mbuf[pl.ds(0, 1)] = jnp.where(inter & even, one,
@@ -306,7 +311,7 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
-    def call(sigma_arr, goff_arr, u, b):
+    def call(sigma_arr, off_arr, u, b):
         nnz = 7 * n * n * n
         # 2D bitcasts: planes are contiguous, so reshape is free.
         u2 = u.reshape(p * r, c)
@@ -329,7 +334,7 @@ def _make_batch_kernel(compute_block, prologue_fn, n: int, p: int, r: int,
                 flops=2 * nnz, transcendentals=0,
                 bytes_accessed=3 * p * r * c * jnp.dtype(dtype).itemsize),
             interpret=_interpret(),
-        )(sigma_arr, goff_arr, u2, b2)
+        )(sigma_arr, off_arr, u2, b2)
         return out.reshape(p, r, c)
 
     return call
@@ -461,24 +466,25 @@ def _sigma_arr(sigma, dtype):
     return jnp.asarray(sigma, dtype=_cdt(dtype)).reshape(1, 1)
 
 
-def _goff_arr(goff):
-    return jnp.asarray(goff, jnp.int32).reshape(1, 1)
+def _off_arr(goff, roff):
+    return jnp.stack([jnp.asarray(goff, jnp.int32),
+                      jnp.asarray(roff, jnp.int32)]).reshape(1, 2)
 
 
 def residual(u: jax.Array, b: jax.Array, n: int, h: float,
-             sigma=0.0, goff=0) -> jax.Array:
+             sigma=0.0, goff=0, roff=0) -> jax.Array:
     """r = b - (A - sigma I) u in one pass.
 
     u/b: aligned3 grids, or a slab decomposition's halo-extended plane
     stack with ``goff`` the global z-index of local plane 0 (traced)."""
     p, r, c = u.shape
     call = _residual_call(n, p, r, c, float(h), jnp.dtype(u.dtype).name)
-    return call(_sigma_arr(sigma, u.dtype), _goff_arr(goff), u, b)
+    return call(_sigma_arr(sigma, u.dtype), _off_arr(goff, roff), u, b)
 
 
 def jacobi_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
                  omega: float, sigma=0.0, sweeps: int = 1,
-                 goff=0, out_dtype=None) -> jax.Array:
+                 goff=0, roff=0, out_dtype=None) -> jax.Array:
     """Weighted-Jacobi sweeps, one HBM pass each (aligned3 / slab).
     ``out_dtype`` widens the LAST sweep's output store (mixed top
     level)."""
@@ -490,7 +496,7 @@ def jacobi_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
     dn = jnp.dtype(u.dtype).name
     call = _jacobi_call(n, p, r, c, float(h), float(omega), dn)
     s = _sigma_arr(sigma, u.dtype)
-    go = _goff_arr(goff)
+    go = _off_arr(goff, roff)
     for i in range(sweeps):
         if i == sweeps - 1 and out_dtype is not None:
             call = _jacobi_call(n, p, r, c, float(h), float(omega), dn,
@@ -500,7 +506,7 @@ def jacobi_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
 
 
 def rbgs_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
-               sigma=0.0, sweeps: int = 1, goff=0,
+               sigma=0.0, sweeps: int = 1, goff=0, roff=0,
                out_dtype=None) -> jax.Array:
     """Full red+black GS sweeps, ONE HBM pass each (aligned3 / slab).
 
@@ -514,7 +520,7 @@ def rbgs_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
     dn = jnp.dtype(u.dtype).name
     call = _rbgs_call(n, p, r, c, float(h), dn)
     s = _sigma_arr(sigma, u.dtype)
-    go = _goff_arr(goff)
+    go = _off_arr(goff, roff)
     for i in range(sweeps):
         if i == sweeps - 1 and out_dtype is not None:
             call = _rbgs_call(n, p, r, c, float(h), dn,
