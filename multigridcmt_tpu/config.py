@@ -66,11 +66,13 @@ class SolverConfig:
         iteration count. Honored ONLY where the cycle runs on kernels
         adapted for sub-32-bit storage: single-device, the color-packed
         2D Pallas tier (``ndim == 2``, ``use_pallas``, fine
-        ``n >= kernels.PACK_MIN_N`` — ``solvers.krylov.
-        mixed_cycle_dtype``); distributed, the whole-leg shard-local
-        tier (2D row AND block decompositions with ``use_pallas`` —
-        ``parallel.sharded.mixed_leg_dtype``, gated by the same
-        ``_leg_level_ok`` check the cycle dispatch uses). Everywhere
+        ``n >= kernels.PACK_MIN_N``, and the 3D plane-rolling tier for
+        RB-GS — ``solvers.krylov.mixed_cycle_dtype``); distributed, the
+        whole-leg shard-local tier (2D row AND block decompositions
+        with ``use_pallas`` — ``parallel.sharded.mixed_leg_dtype``,
+        gated by the same ``_leg_level_ok`` check the cycle dispatch
+        uses) and the 3D slab tier
+        (``parallel.sharded.mixed_slab_dtype``). Everywhere
         else the cast
         is skipped and the preconditioner runs in full ``dtype``.
         Ignored by the plain stationary solve (``cycles.solve``), which

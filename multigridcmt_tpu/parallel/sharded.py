@@ -1068,13 +1068,15 @@ def _leg_cycle_ext(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
 def mixed_leg_dtype(cfg: SolverConfig, decomp: Decomp):
     """Sharded twin of ``krylov.mixed_cycle_dtype``: the Krylov-wrapped
     distributed solvers honor ``precond_dtype`` only where the cycle
-    runs the whole-leg kernels, whose tiles are widened to f32 in
-    registers and whose down legs emit the coarse RHS at f32
+    runs the whole-leg kernels — 2D row AND block decompositions
+    (``_leg_level_ok``) — whose tiles are widened to f32 in registers
+    and whose down legs emit the coarse RHS at f32
     (kernels/local2d._cdt) — so low precision only ever touches the fine
-    level's HBM traffic. Everywhere else (jnp tile stencils, block
-    decompositions, small levels) raw bfloat16 stencil algebra at
-    1/h^2 ~ 4^k scale is catastrophic cancellation, and the cast is
-    skipped — the preconditioner runs in full ``dtype``."""
+    level's HBM traffic. Everywhere else (jnp tile stencils, small
+    levels; 3D slabs have their own gate, ``mixed_slab_dtype``) raw
+    bfloat16 stencil algebra at 1/h^2 ~ 4^k scale is catastrophic
+    cancellation, and the cast is skipped — the preconditioner runs in
+    full ``dtype``."""
     pd = cfg.cycle_dtype()
     if pd == jnp.dtype(cfg.dtype):
         return None

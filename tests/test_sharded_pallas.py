@@ -343,6 +343,7 @@ def test_packed_leg_kernels_match_aligned(kk, mcol, kind, nu, sigma, dev):
 @pytest.mark.parametrize("mesh_kind,smoother,method", [
     ("rows", "rbgs", "mg"), ("rows", "rbgs", "pcg"),
     ("block", "rbgs", "mg"), ("block", "jacobi", "pcg"),
+    ("rows_w", "rbgs", "mg"),
 ])
 def test_packed_sharded_solve_matches_unsharded(mesh_kind, smoother,
                                                 method, monkeypatch):
@@ -352,10 +353,11 @@ def test_packed_sharded_solve_matches_unsharded(mesh_kind, smoother,
     monkeypatch.setattr(kernels, "PALLAS_MIN_N", 30)
     monkeypatch.setattr(kernels, "PACK_MIN_N", 30)
     base = dict(k=8, dtype=jnp.float64, smoother=smoother, tol=1e-9,
-                agglom_rows=4)
+                agglom_rows=4,
+                **({"cycle": "w"} if mesh_kind == "rows_w" else {}))
     cfg = SolverConfig(ndim=2, **base, use_pallas=True)
-    mesh = (sharded.make_mesh(jax.devices()[:4]) if mesh_kind == "rows"
-            else sharded.make_block_mesh((2, 2)))
+    mesh = (sharded.make_block_mesh((2, 2)) if mesh_kind == "block"
+            else sharded.make_mesh(jax.devices()[:4]))
     s = sharded.ShardedSolver(cfg, mesh)
     assert sharded._pack_level_ok(cfg, s.decomp, 0)   # engaged
     prob = mg.poisson2d(**base)
