@@ -1097,18 +1097,26 @@ def mixed_slab_dtype(cfg: SolverConfig, decomp: Decomp):
         return None
     if (cfg.ndim != 3 or not cfg.use_pallas
             or cfg.smoother not in ("rbgs", "jacobi")
-            or len(decomp.axes) != 1 or decomp.axes[0][0] != 0):
+            or len(decomp.axes) not in (1, 2)
+            or any(decomp.axes[i][0] != i
+                   for i in range(len(decomp.axes)))):
         return None
     from ..grids import aligned3_shape
     from ..kernels import PALLAS3_MIN_N
     from ..kernels.stencil3d import fits_vmem
 
     n = cfg.n
-    m = 2 ** cfg.k // decomp.axes[0][2]
-    if (n < PALLAS3_MIN_N or m < max(_slab3d_hz_level(cfg), 3)
+    hz = _slab3d_hz_level(cfg)
+    m0 = 2 ** cfg.k // decomp.axes[0][2]
+    if (n < PALLAS3_MIN_N or m0 < max(hz, 3)
             or not _is_sharded(cfg, decomp, 0)):
         return None
     _, r, c = aligned3_shape(n)
+    if len(decomp.axes) == 2:   # pencil: rows sharded too
+        m1 = 2 ** cfg.k // decomp.axes[1][2]
+        if m1 < hz:
+            return None
+        r = -(-(m1 + 2 * hz) // 8) * 8
     if not fits_vmem(r, c, pd):
         return None
     return pd

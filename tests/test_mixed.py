@@ -318,9 +318,10 @@ def test_pcg_bf16_3d_kernel_tier(monkeypatch):
                                rtol=1e-7, atol=1e-8)
 
 
-def test_sharded_pcg_bf16_3d_slab(monkeypatch):
-    """Distributed 3D slab mixed precision through _slab3d_level (bf16
-    stacks, f32-emitting top level)."""
+@pytest.mark.parametrize("mesh_kind", ["slab", "pencil"])
+def test_sharded_pcg_bf16_3d_slab(mesh_kind, monkeypatch):
+    """Distributed 3D slab/pencil mixed precision through _slab3d_level
+    (bf16 stacks, f32-emitting top level)."""
     import jax
 
     if len(jax.devices()) < 4:
@@ -332,7 +333,8 @@ def test_sharded_pcg_bf16_3d_slab(monkeypatch):
                 use_pallas=True, tol=1e-10, max_iters=60, agglom_rows=4)
     cfg_full = SolverConfig(**base)
     cfg_mixed = SolverConfig(**base, precond_dtype=jnp.bfloat16)
-    mesh = sharded.make_mesh(jax.devices()[:4])
+    mesh = (sharded.make_mesh(jax.devices()[:4]) if mesh_kind == "slab"
+            else sharded.make_block_mesh((2, 2)))
     decomp = sharded.decomp_from_mesh(mesh, 3)
     assert sharded.mixed_slab_dtype(cfg_mixed, decomp) == jnp.bfloat16
     prob = mg.poisson3d(k=5, dtype=jnp.float64)
