@@ -864,3 +864,126 @@ def residual_norm_sq(s: jax.Array, bs: jax.Array, n: int, h: float,
                          jnp.dtype(s.dtype).name)
     return call(_scal(sigma, _cdt(s.dtype)), _offs(row_off, col_off),
                 s, bs)
+
+
+# ---------------------------------------------------------------------------
+# Operator apply: (A - sigma I) u on a packed extended tile — the
+# residual kernel minus the b stream (PCG's apply_a ran residual against
+# a materialized ZERO b, wasting a third of its DMA traffic).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _apply_call(n: int, r: int, cp: int, h: float, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    cdt = _cdt(dtype)
+    inv_h2 = 1.0 / (h * h)
+    h_lo, _, _ = _halos(dtype)
+    if r <= _T_DN + 2 * h_lo:
+        t, lt, nt = r, r, 1
+    else:
+        t, lt, nt = _T_DN, _T_DN + 2 * h_lo, -(-r // _T_DN)
+
+    def kernel(sigma_ref, off_ref, u_hbm, out_hbm, ubuf, obuf,
+               in_sems, out_sems):
+        sigma = sigma_ref[0, 0]
+        grow0 = off_ref[0, 0]
+        gcol0 = off_ref[0, 1]
+
+        def offsets(i):
+            oo = jnp.minimum(i * t, r - t)
+            ps = jnp.clip(oo - h_lo, 0, r - lt)
+            return pl.multiple_of(oo, 8), pl.multiple_of(ps, h_lo)
+
+        def in_copy(i, slot):
+            _, ps = offsets(i)
+            return pltpu.make_async_copy(u_hbm.at[:, pl.ds(ps, lt), :],
+                                         ubuf.at[slot],
+                                         in_sems.at[slot])
+
+        in_copy(0, 0).start()
+
+        def body(i, _):
+            slot = i % 2
+            nxt = (i + 1) % 2
+
+            @pl.when(i + 1 < nt)
+            def _():
+                in_copy(i + 1, nxt).start()
+
+            in_copy(i, slot).wait()
+            oo, ps = offsets(i)
+            _, seven, mask_r, mask_b = _masks_ext(n, grow0, gcol0, ps,
+                                                  (lt, cp))
+            red = ubuf[slot, 0].astype(cdt)
+            blk = ubuf[slot, 1].astype(cdt)
+            au_r = (4.0 * red - _red_neighbor_sum(blk, seven)) * inv_h2 \
+                - sigma * red
+            au_b = (4.0 * blk - _black_neighbor_sum(red, seven)) \
+                * inv_h2 - sigma * blk
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :],
+                    out_sems.at[slot]).wait()
+
+            co = pl.multiple_of(oo - ps, 8)
+            obuf[slot, 0, :, :] = jnp.where(
+                mask_r, au_r, jnp.zeros_like(au_r)).astype(dtype)
+            obuf[slot, 1, :, :] = jnp.where(
+                mask_b, au_b, jnp.zeros_like(au_b)).astype(dtype)
+            pltpu.make_async_copy(
+                obuf.at[slot, :, pl.ds(co, t), :],
+                out_hbm.at[:, pl.ds(oo, t), :], out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0, unroll=False)
+
+        def drain(j, _):
+            @pl.when(j < jnp.minimum(nt, 2))
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[(nt - 1 - j) % 2, :, pl.ds(0, t), :],
+                    out_hbm.at[:, pl.ds(0, t), :],
+                    out_sems.at[(nt - 1 - j) % 2]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, 2, drain, 0, unroll=False)
+
+    scratch = [
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.VMEM((2, 2, lt, cp), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def call(sigma_arr, off_arr, u):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((2, r, cp), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=8 * r * cp, transcendentals=0,
+                bytes_accessed=2 * 2 * r * cp
+                * jnp.dtype(dtype).itemsize),
+            interpret=_interpret(),
+        )(sigma_arr, off_arr, u)
+
+    return call
+
+
+def apply_op(s: jax.Array, n: int, h: float, row_off, col_off=0,
+             sigma=0.0) -> jax.Array:
+    """(A - sigma I) u on a packed halo-extended tile (zero outside the
+    global interior; ghosts need depth-1 exactness). == -residual(u, 0)
+    at a third less HBM traffic (no b stream)."""
+    _, r, cp = s.shape
+    call = _apply_call(n, r, cp, float(h), jnp.dtype(s.dtype).name)
+    return call(_scal(sigma, _cdt(s.dtype)), _offs(row_off, col_off), s)

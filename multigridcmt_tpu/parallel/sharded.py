@@ -1528,16 +1528,24 @@ class ShardedSolver:
                     res_kernel = plocal2d.residual
                 else:
                     res_kernel = local2d.residual
-                zeros_e = jnp.zeros_like(be)
-
                 def pdot(u, v):
                     return jax.lax.psum(jnp.sum(u[owned] * v[owned]),
                                         decomp.mesh_axes)
 
-                def apply_a(pe):
-                    pf = _refresh_ext(pe, decomp, hh, ms)
-                    return -res_kernel(pf, zeros_e, n, h, row_off,
-                                       col_off)
+                if packed0:
+                    def apply_a(pe):
+                        # Dedicated apply kernel: no zero-b DMA stream
+                        # (a third of the residual kernel's traffic).
+                        pf = _refresh_ext(pe, decomp, hh, ms)
+                        return plocal2d.apply_op(pf, n, h, row_off,
+                                                 col_off)
+                else:
+                    zeros_e = jnp.zeros_like(be)
+
+                    def apply_a(pe):
+                        pf = _refresh_ext(pe, decomp, hh, ms)
+                        return -res_kernel(pf, zeros_e, n, h, row_off,
+                                           col_off)
 
                 if pd is None:
                     def precond(re):

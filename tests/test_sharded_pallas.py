@@ -414,3 +414,26 @@ def test_pencil3d_pallas_matches_unsharded(smoother, monkeypatch):
                                rtol=1e-6, atol=1e-11)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_packed_apply_op_matches_residual():
+    """apply_op == -residual(u, 0) on packed extended tiles (the PCG
+    apply kernel with the zero-b DMA stream removed)."""
+    from multigridcmt_tpu.grids import aligned_shape
+    from multigridcmt_tpu.kernels import local2d, plocal2d
+
+    rng = np.random.default_rng(7)
+    n = 2 ** 8 - 1
+    hh = local2d.HALO_ROWS
+    h = 1.0 / (n + 1)
+    m = 2 ** 8 // 2
+    r = local2d.ext_rows(m)
+    c = aligned_shape(n)[1]
+    u = jnp.asarray(rng.standard_normal((r, c)))
+    up = plocal2d.pack_ext(u, 0)
+    row_off = m + 1 - hh
+    got = plocal2d.apply_op(up, n, h, row_off, 0, sigma=1.3)
+    want = -plocal2d.residual(up, jnp.zeros_like(up), n, h, row_off, 0,
+                              sigma=1.3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-13 * 4.0 ** 8)
