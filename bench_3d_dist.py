@@ -82,7 +82,12 @@ def main():
                                         use_pallas=True))
     # The op input must depend on the carry (x = 0 + s) or XLA hoists
     # the whole op out of the timing loop (first version of this script
-    # read 30 us for a 537 MB restrict).
+    # read 30 us for a 537 MB restrict). The b + x dependency costs a
+    # full streaming pass of its own — measured as "nop" below and
+    # subtracted from the reported transfer numbers.
+    comps["nop"] = chain(
+        "nop (b + x carry pass, subtracted from transfers)",
+        lambda x, b: b + x)
     comps["restrict"] = chain(
         "restrict (jnp separable)",
         lambda x, b: sharded.s_restrict(b + x, n, decomp))
@@ -102,6 +107,8 @@ def main():
                         reps=6)
     log(f"[3d-dist] full V(2,2) cycle: {t_cycle * 1e3:.3f} ms")
 
+    comps["restrict"] = max(comps["restrict"] - comps["nop"], 0.0)
+    comps["prolong"] = max(comps["prolong"] - comps["nop"], 0.0)
     level0 = 2 * comps["smooth2"] + comps["residual"] \
         + comps["restrict"] + comps["prolong"]
     transfers = comps["restrict"] + comps["prolong"]

@@ -492,6 +492,8 @@ def jacobi_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
         # Mixed cycles promote u to f32 at the correction add while b
         # stays bf16; the rings are one dtype — cast b up once.
         b = b.astype(u.dtype)
+    if sweeps == 0 and out_dtype is not None:
+        return u.astype(out_dtype)     # honor the contract with no sweeps
     p, r, c = u.shape
     dn = jnp.dtype(u.dtype).name
     call = _jacobi_call(n, p, r, c, float(h), float(omega), dn)
@@ -516,6 +518,8 @@ def rbgs_sweep(u: jax.Array, b: jax.Array, n: int, h: float,
     """
     if b.dtype != u.dtype:
         b = b.astype(u.dtype)      # see jacobi_sweep
+    if sweeps == 0 and out_dtype is not None:
+        return u.astype(out_dtype)     # honor the contract with no sweeps
     p, r, c = u.shape
     dn = jnp.dtype(u.dtype).name
     call = _rbgs_call(n, p, r, c, float(h), dn)

@@ -119,8 +119,13 @@ def _axis_order(ndim: int):
     shrinks the array 4x before the plane-sliced pass (measured round 5:
     9.2 -> ~3 ms for the 511^3 restrict). 1D/2D keep ascending order —
     their numerics are pinned step-for-step against the reference
-    oracle. parallel.sharded mirrors this order so sharded == unsharded
-    stays fp-exact."""
+    oracle. parallel.sharded mirrors this order; a SHARDED minor axis
+    (3D pencils) still runs the halo'd slice pass while the unsharded
+    twin runs the matmul, so pencil transfers agree with the unsharded
+    solve to ~1e-13 relative (rounding order), not bit-exactly — within
+    every pinned test tolerance, and tested explicitly
+    (tests/test_sharded_pallas.py pencil case with _MM_MIN_N patched
+    low)."""
     return range(ndim) if ndim < 3 else reversed(range(ndim))
 
 

@@ -740,11 +740,8 @@ def _slab3d_level(hier: Hierarchy, cfg: SolverConfig, decomp: Decomp,
                                       sweeps=sweeps, goff=goff,
                                       roff=roff, out_dtype=odt)
 
-    def smooth_e(xe, be, sweeps):
-        return smooth_e2(xe, be, sweeps)
-
     xe, be = ext(x), ext(b)
-    xe = smooth_e(xe, be, cfg.nu1)
+    xe = smooth_e2(xe, be, cfg.nu1)
     # The residual kernel emits the COMPUTE dtype (f32 for bf16 tiles),
     # so the whole coarse correction runs at full precision — the
     # packed2d coarse-at-f32 discipline for free.
